@@ -1,0 +1,336 @@
+"""Krylov-method drivers as pure jittable JAX functions.
+
+These replace the reference's ``EigenIterative<Solver>`` wrapper family
+(reference EigenSolver.hpp:45-84, instantiated over CG / BiCGSTAB / GMRES /
+MINRES / LeastSquaresCG × 5 preconditioners, Solver.cpp:425-451) and the MAS
+device-resident PCG loop (MASSolver.cu:469-595).
+
+Design (SURVEY.md §7 step 3):
+
+- each driver is ``driver(matvec, b, x0, precond, tol, max_iter) ->
+  (x, iters, relres)`` built on ``lax.while_loop`` — the whole iteration stays
+  on device; only the final state is read back (the MAS device-scalar design,
+  MASSolver.cu:509-560);
+- convergence follows Eigen's criterion ``‖r‖ ≤ tol·‖b‖`` (squared-norm
+  comparisons, no square roots in the loop);
+- dot products are plain ``jnp.vdot`` — under ``shard_map`` they become
+  mesh-wide ``psum`` reductions automatically (see parallel/distributed.py);
+- ``x0`` is always honored as the initial guess (``solveWithGuess`` semantics,
+  reference EigenSolver.tpp:108-114, pinned by the warm-start tests
+  test_linear_solver.cpp:309-455).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+MatVec = Callable[[jnp.ndarray], jnp.ndarray]
+Precond = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+class KrylovResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray  # int32
+    error: jnp.ndarray       # final relative residual ‖r‖/‖b‖
+
+
+def _safe_div(num, den, eps=0.0):
+    return num / jnp.where(den == 0, 1.0, den) * (den != 0)
+
+
+# --------------------------------------------------------------------------- #
+# Preconditioned Conjugate Gradient                                           #
+# --------------------------------------------------------------------------- #
+
+
+def cg(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
+       tol: float, max_iter: int, recompute_every: int = 64,
+       atol: float = 0.0) -> KrylovResult:
+    """PCG with periodic true-residual recomputation (the MAS trick,
+    MASSolver.cu:509-520, which keeps long solves honest in fp32).
+    Converges when ‖r‖ ≤ max(tol·‖b‖, atol) — the relative/absolute pair is
+    the MAS convergence rule (MASSolver.cu:138-143)."""
+    bnorm2 = jnp.vdot(b, b)
+    thresh = jnp.maximum(tol * tol * bnorm2, atol * atol)
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    rr0 = jnp.vdot(r0, r0)
+
+    def cond(state):
+        x, r, p, rz, rr, k = state
+        return (k < max_iter) & (rr > thresh)
+
+    def body(state):
+        x, r, p, rz, rr, k = state
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = _safe_div(rz, pAp)
+        x = x + alpha * p
+        r = lax.cond(
+            (k + 1) % recompute_every == 0,
+            lambda: b - matvec(x),
+            lambda: r - alpha * Ap,
+        )
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = _safe_div(rz_new, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new, jnp.vdot(r, r), k + 1)
+
+    x, r, p, rz, rr, k = lax.while_loop(cond, body, (x0, r0, p0, rz0, rr0, jnp.int32(0)))
+    relres = jnp.sqrt(_safe_div(rr, bnorm2))
+    return KrylovResult(x, k, relres)
+
+
+# --------------------------------------------------------------------------- #
+# BiCGSTAB                                                                    #
+# --------------------------------------------------------------------------- #
+
+
+def bicgstab(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
+             tol: float, max_iter: int) -> KrylovResult:
+    """Preconditioned BiCGSTAB (van der Vorst), right preconditioning — the
+    Eigen::BiCGSTAB analog (reference Solver.cpp:425-432)."""
+    bnorm2 = jnp.vdot(b, b)
+    thresh = tol * tol * bnorm2
+
+    r0 = b - matvec(x0)
+    rhat = r0
+    one = jnp.ones((), dtype=r0.dtype)
+    init = dict(
+        x=x0, r=r0, p=jnp.zeros_like(r0), v=jnp.zeros_like(r0),
+        rho=one, alpha=one, omega=one,
+        k=jnp.int32(0), breakdown=jnp.bool_(False),
+    )
+
+    def cond(s):
+        rr = jnp.vdot(s["r"], s["r"])
+        return (s["k"] < max_iter) & (rr > thresh) & (~s["breakdown"])
+
+    def body(s):
+        rho_new = jnp.vdot(rhat, s["r"])
+        breakdown = jnp.abs(rho_new) < 1e-300
+        beta = _safe_div(rho_new, s["rho"]) * _safe_div(s["alpha"], s["omega"])
+        p = s["r"] + beta * (s["p"] - s["omega"] * s["v"])
+        y = precond(p)
+        v = matvec(y)
+        denom = jnp.vdot(rhat, v)
+        alpha = _safe_div(rho_new, denom)
+        srv = s["r"] - alpha * v
+        z = precond(srv)
+        t = matvec(z)
+        tt = jnp.vdot(t, t)
+        omega = _safe_div(jnp.vdot(t, srv), tt)
+        x = s["x"] + alpha * y + omega * z
+        r = srv - omega * t
+        return dict(x=x, r=r, p=p, v=v, rho=rho_new, alpha=alpha, omega=omega,
+                    k=s["k"] + 1, breakdown=breakdown)
+
+    s = lax.while_loop(cond, body, init)
+    rr = jnp.vdot(s["r"], s["r"])
+    return KrylovResult(s["x"], s["k"], jnp.sqrt(_safe_div(rr, bnorm2)))
+
+
+# --------------------------------------------------------------------------- #
+# MINRES                                                                      #
+# --------------------------------------------------------------------------- #
+
+
+def minres(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
+           tol: float, max_iter: int) -> KrylovResult:
+    """Preconditioned MINRES (Paige–Saunders) for symmetric (possibly
+    indefinite) A with SPD preconditioner — the Eigen::MINRES analog
+    (reference Solver.cpp:439-443)."""
+    dtype = b.dtype
+    r1 = b - matvec(x0)
+    y = precond(r1)
+    beta1 = jnp.sqrt(jnp.maximum(jnp.vdot(r1, y), 0.0))
+    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    thresh = tol * bnorm
+
+    zero = jnp.zeros((), dtype=dtype)
+    init = dict(
+        x=x0, r1=r1, r2=r1, y=y,
+        oldb=zero, beta=beta1, dbar=zero, epsln=zero,
+        phibar=beta1, cs=-jnp.ones((), dtype=dtype), sn=zero,
+        w=jnp.zeros_like(b), w2=jnp.zeros_like(b),
+        k=jnp.int32(0), done=(beta1 <= thresh) | (beta1 == 0),
+    )
+
+    def cond(s):
+        return (s["k"] < max_iter) & (~s["done"])
+
+    def body(s):
+        v = _safe_div(s["y"], s["beta"])
+        yv = matvec(v)
+        yv = lax.cond(s["k"] > 0,
+                      lambda: yv - _safe_div(s["beta"], s["oldb"]) * s["r1"],
+                      lambda: yv)
+        alfa = jnp.vdot(v, yv)
+        yv = yv - _safe_div(alfa, s["beta"]) * s["r2"]
+        r1n, r2n = s["r2"], yv
+        yn = precond(yv)
+        oldb = s["beta"]
+        beta = jnp.sqrt(jnp.maximum(jnp.vdot(yv, yn), 0.0))
+
+        oldeps = s["epsln"]
+        delta = s["cs"] * s["dbar"] + s["sn"] * alfa
+        gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
+        epsln = s["sn"] * beta
+        dbar = -s["cs"] * beta
+
+        gamma = jnp.sqrt(gbar * gbar + beta * beta)
+        gamma = jnp.where(gamma == 0, jnp.finfo(dtype).tiny, gamma)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * s["phibar"]
+        phibar = sn * s["phibar"]
+
+        w1 = s["w2"]
+        w2 = s["w"]
+        w = (v - oldeps * w1 - delta * w2) / gamma
+        x = s["x"] + phi * w
+
+        done = (jnp.abs(phibar) <= thresh) | (beta == 0)
+        return dict(x=x, r1=r1n, r2=r2n, y=yn, oldb=oldb, beta=beta,
+                    dbar=dbar, epsln=epsln, phibar=phibar, cs=cs, sn=sn,
+                    w=w, w2=w2, k=s["k"] + 1, done=done)
+
+    s = lax.while_loop(cond, body, init)
+    r = b - matvec(s["x"])
+    relres = jnp.sqrt(_safe_div(jnp.vdot(r, r), jnp.vdot(b, b)))
+    return KrylovResult(s["x"], s["k"], relres)
+
+
+# --------------------------------------------------------------------------- #
+# Restarted GMRES                                                             #
+# --------------------------------------------------------------------------- #
+
+
+def gmres(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
+          tol: float, max_iter: int, restart: int = 30) -> KrylovResult:
+    """GMRES(m) with right preconditioning, modified Gram-Schmidt Arnoldi and
+    Givens-rotation residual tracking — the Eigen::GMRES / DGMRES analog
+    (reference Solver.cpp:433-438, :446-451). ``max_iter`` counts total inner
+    iterations. Happy breakdown is masked so each restart runs a static ``m``
+    steps (XLA needs static shapes)."""
+    dtype = b.dtype
+    n = b.shape[0]
+    m = restart
+    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    thresh = tol * bnorm
+    tiny = jnp.finfo(dtype).tiny
+
+    def inner(x):
+        """One restart cycle. Returns (x_new, resnorm, iters_done)."""
+        r = b - matvec(x)
+        beta = jnp.sqrt(jnp.vdot(r, r))
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        V = V.at[0].set(_safe_div(r, beta))
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        csv = jnp.zeros((m,), dtype=dtype)
+        snv = jnp.zeros((m,), dtype=dtype)
+        g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
+
+        def arnoldi_step(j, carry):
+            V, H, csv, snv, g, done, iters = carry
+            w = matvec(precond(V[j]))
+            # modified Gram-Schmidt against all basis vectors (masked > j)
+            def mgs(i, acc):
+                w, h = acc
+                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                w = w - hij * V[i]
+                return (w, h.at[i].set(hij))
+
+            w, hcol = lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros((m + 1,), dtype=dtype)))
+            hnext = jnp.sqrt(jnp.vdot(w, w))
+            happy = hnext < (jnp.finfo(dtype).eps * 100) * jnp.maximum(beta, 1.0)
+            hcol = hcol.at[j + 1].set(hnext)
+            Vn = V.at[j + 1].set(_safe_div(w, jnp.maximum(hnext, tiny)))
+
+            # apply previous Givens rotations to the new column
+            hcol = _apply_rots(hcol, csv, snv, j)
+            # new rotation
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            denom = jnp.maximum(denom, tiny)
+            cs_j = hcol[j] / denom
+            sn_j = hcol[j + 1] / denom
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            gj = g[j]
+            g2 = g.at[j].set(cs_j * gj).at[j + 1].set(-sn_j * gj)
+
+            skip = done
+            V = jnp.where(skip, V, Vn)
+            H = jnp.where(skip, H, H.at[:, j].set(hcol))
+            # pad skipped steps with identity columns so the triangular solve
+            # below stays nonsingular
+            H = jnp.where(skip, H.at[j, j].set(1.0), H)
+            csv = jnp.where(skip, csv, csv.at[j].set(cs_j))
+            snv = jnp.where(skip, snv, snv.at[j].set(sn_j))
+            g = jnp.where(skip, g, g2)
+            iters = jnp.where(skip, iters, iters + 1)
+            done = done | happy | (jnp.abs(g[j + 1]) <= thresh)
+            return (V, H, csv, snv, g, done, iters)
+
+        V, H, csv, snv, g, done, iters = lax.fori_loop(
+            0, m, arnoldi_step,
+            (V, H, csv, snv, g, jnp.bool_(False), jnp.int32(0)),
+        )
+        # solve the (masked-padded) upper-triangular system H[:m,:m] y = g[:m]
+        y = jax.scipy.linalg.solve_triangular(H[:m, :m], g[:m], lower=False)
+        update = precond(V[:m].T @ y)
+        xn = x + update
+        rn = b - matvec(xn)
+        return xn, jnp.sqrt(jnp.vdot(rn, rn)), iters
+
+    def cond(s):
+        x, res, k = s
+        return (k < max_iter) & (res > thresh)
+
+    def body(s):
+        x, res, k = s
+        xn, resn, used = inner(x)
+        return (xn, resn, k + used)
+
+    r0 = b - matvec(x0)
+    res0 = jnp.sqrt(jnp.vdot(r0, r0))
+    x, res, k = lax.while_loop(cond, body, (x0, res0, jnp.int32(0)))
+    return KrylovResult(x, k, _safe_div(res, bnorm))
+
+
+def _apply_rots(hcol, csv, snv, j):
+    """Apply rotations 0..j-1 to a fresh Hessenberg column (masked fori)."""
+
+    def rot(i, hc):
+        do = i < j
+        t = csv[i] * hc[i] + snv[i] * hc[i + 1]
+        u = -snv[i] * hc[i] + csv[i] * hc[i + 1]
+        hc = hc.at[i].set(jnp.where(do, t, hc[i]))
+        return hc.at[i + 1].set(jnp.where(do, u, hc[i + 1]))
+
+    return jax.lax.fori_loop(0, hcol.shape[0] - 1, rot, hcol)
+
+
+# --------------------------------------------------------------------------- #
+# Least-squares CG (CGNR)                                                     #
+# --------------------------------------------------------------------------- #
+
+
+def lscg(matvec: MatVec, rmatvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray,
+         precond: Precond, tol: float, max_iter: int) -> KrylovResult:
+    """CG on the normal equations AᵀA x = Aᵀb — the
+    Eigen::LeastSquaresConjugateGradient analog (reference Solver.cpp:444-445).
+    Convergence on ‖Aᵀ(b−Ax)‖ ≤ tol·‖Aᵀb‖ like Eigen's LSCG."""
+    atb = rmatvec(b)
+
+    def normal_mv(v):
+        return rmatvec(matvec(v))
+
+    return cg(normal_mv, atb, x0, precond, tol, max_iter)

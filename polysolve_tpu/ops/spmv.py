@@ -1,0 +1,148 @@
+"""SpMV / SpMM dispatch over device matrix formats + format auto-selection.
+
+This is the hot kernel of the whole framework — the TPU replacement of the
+reference's cuSPARSE SpMV inside the MAS PCG loop (reference
+CuSparseWrapper.hpp:13-60, MASSolver.cu:469-595) and of Eigen's CSR matvec in
+every iterative solver.
+
+Format strategy (see SURVEY.md §7 hard-part #1):
+
+- ``DIAMatrix``   — stencil/banded matrices: SpMV = statically-shifted fused
+  multiply-adds, zero gathers, HBM-roofline streaming. Auto-picked when the
+  pattern has few distinct diagonals (structured grids: 3D Poisson has 7/27).
+- ``ELLMatrix``   — general unstructured: padded rows, one XLA gather + row
+  reduction.
+- ``BlockELLMatrix`` — vector-valued FEM (2/3 dofs per node): dense b×b blocks
+  (reference AMGCL_Block AMGCL.hpp:48-98, MAS block_dim MASSolver.cu:198).
+
+A Pallas DIA kernel (``pallas_dia_matvec``) exists for explicit control over
+tiling; on current XLA the fused jnp formulation already saturates HBM, so the
+default path is jnp and the Pallas kernel is opt-in (used by the benchmark for
+comparison).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Union
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from polysolve_tpu.types import (
+    BlockELLMatrix,
+    DIAMatrix,
+    ELLMatrix,
+    bell_from_scipy,
+    dia_from_scipy,
+    ell_from_scipy,
+)
+
+DeviceMatrix = Union[ELLMatrix, BlockELLMatrix, DIAMatrix]
+
+
+def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    return A.matvec(x)
+
+
+def matmat(A: DeviceMatrix, X: jnp.ndarray) -> jnp.ndarray:
+    return A.matmat(X)
+
+
+def rmatvec(A: DeviceMatrix, y: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(A, ELLMatrix):
+        return A.rmatvec(y)
+    raise NotImplementedError(f"rmatvec not implemented for {type(A).__name__}")
+
+
+def to_device_matrix(
+    A: sp.spmatrix,
+    dtype=None,
+    block_size: int = 1,
+    prefer: str = "auto",
+    dia_max_diags: int = 64,
+    dia_fill_threshold: float = 0.55,
+) -> DeviceMatrix:
+    """Pick the best device format for ``A``.
+
+    ``prefer`` one of {"auto", "ell", "dia", "bell"}. Auto rule: block_size>1
+    -> block ELL; else DIA if the pattern has ≤ ``dia_max_diags`` distinct
+    diagonals and the DIA storage is ≥ ``dia_fill_threshold`` full; else ELL.
+    """
+    A = sp.csr_matrix(A)
+    if prefer == "bell" or (prefer == "auto" and block_size > 1):
+        return bell_from_scipy(A, block_size=max(block_size, 1) if block_size > 1 else 2,
+                               dtype=dtype)
+    if prefer == "ell":
+        return ell_from_scipy(A, dtype=dtype)
+    if prefer == "dia":
+        return dia_from_scipy(A, dtype=dtype, max_diags=10**9)
+    # auto scalar: probe diagonal count cheaply
+    rows, cols = A.nonzero()
+    diags = np.unique(cols.astype(np.int64) - rows.astype(np.int64))
+    n = A.shape[0]
+    if len(diags) <= dia_max_diags and A.nnz >= dia_fill_threshold * n * len(diags):
+        return dia_from_scipy(A, dtype=dtype, max_diags=dia_max_diags)
+    return ell_from_scipy(A, dtype=dtype)
+
+
+# --------------------------------------------------------------------------- #
+# Pallas DIA SpMV kernel                                                      #
+# --------------------------------------------------------------------------- #
+
+
+def pallas_dia_matvec(A: DIAMatrix, x: jnp.ndarray, tile: int = 1024) -> jnp.ndarray:
+    """Pallas row-tiled DIA SpMV with per-tile overlapping x windows (explicit
+    HBM→VMEM DMA, since plain blocked BlockSpecs cannot express overlap).
+    Requires n % tile == 0 — callers fall back to the fused-XLA jnp path
+    otherwise. Kept as an explicit kernel to benchmark against XLA's fusion."""
+    n = A.shape[0]
+    if n % tile != 0:
+        return A.matvec(x)
+    return _pallas_dia_overlap(A.vals, x, A.offsets, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile"))
+def _pallas_dia_overlap(vals, x, offsets, tile):
+    """DIA SpMV with per-tile overlapping x windows fetched via explicit
+    dynamic slices of the padded vector (Pallas grid over row tiles; x stays
+    in HBM/ANY and each tile DMAs its window)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    left = max(0, -min(offsets))
+    right = max(0, max(offsets))
+    xp = jnp.pad(x, (left, right))
+    K = vals.shape[1]
+
+    def kernel(vals_ref, xp_hbm, y_ref, xwin_ref, sem):
+        i = pl.program_id(0)
+        start = i * tile
+        cp = pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(start, tile + left + right)], xwin_ref, sem
+        )
+        cp.start()
+        cp.wait()
+        acc = jnp.zeros((tile,), dtype=y_ref.dtype)
+        for k, off in enumerate(offsets):
+            acc = acc + vals_ref[:, k] * xwin_ref[off + left : off + left + tile]
+        y_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n,), x.dtype),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, K), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,)),
+        scratch_shapes=[
+            pltpu.VMEM((tile + left + right,), vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(vals, xp)

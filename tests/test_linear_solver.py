@@ -1,0 +1,289 @@
+"""Linear-solver test battery — mirrors the reference's
+tests/test_linear_solver.cpp section by section (see SURVEY.md §4 for the
+mapping table). Residual targets match the reference's (‖Ax−b‖ < 1e-8 for
+every solver on the SPD fixture — test_linear_solver.cpp:162)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from polysolve_tpu.linear import (
+    Solver,
+    available_solvers,
+    available_preconds,
+    default_solver,
+    default_precond,
+)
+from polysolve_tpu.linear.solver import resolve_solver_name
+
+from conftest import poisson2d, poisson3d, elasticity_like
+
+
+def _solve(name, A, b, params=None, precond=None, precond_num=0, x0=None):
+    p = {"solver": name}
+    if params:
+        p[name] = params
+    if precond:
+        p["precond"] = precond
+    s = Solver.create(p, strict=False)
+    s.analyze_pattern(A, precond_num or A.shape[0])
+    s.factorize(A)
+    x = s.solve(b, x0)
+    return x, s
+
+
+# --------------------------------------------------------------------------- #
+# `jse` test: empty-json create → default solver (test_linear_solver.cpp:52-75)
+# --------------------------------------------------------------------------- #
+
+
+def test_default_create(A_small, rng):
+    b = rng.standard_normal(A_small.shape[0])
+    s = Solver.create({})
+    assert s.name() == default_solver()
+    s.analyze_pattern(A_small)
+    s.factorize(A_small)
+    x = s.solve(b)
+    assert np.linalg.norm(A_small @ x - b) < 1e-8
+
+
+def test_create_by_name_string():
+    s = Solver.create("CG")
+    assert s.name() == "CG"
+
+
+# --------------------------------------------------------------------------- #
+# `multi-solver`: priority-list selection (test_linear_solver.cpp:77-101)
+# --------------------------------------------------------------------------- #
+
+
+def test_priority_list_selection(A_small, rng):
+    b = rng.standard_normal(A_small.shape[0])
+    s = Solver.create({"solver": ["NotARealSolver", "Hypre", "CG"]}, strict=False)
+    assert s.name() == "Hypre"
+    s.analyze_pattern(A_small)
+    s.factorize(A_small)
+    x = s.solve(b)
+    assert np.linalg.norm(A_small @ x - b) < 1e-8
+
+
+def test_overwrite_fallback():
+    s = Solver.create(
+        {"solver": ["NotARealSolver"], "enable_overwrite_solver": True}, strict=False
+    )
+    assert s.name() == default_solver()
+
+
+def test_unknown_solver_raises():
+    with pytest.raises(ValueError):
+        Solver.create({"solver": "NotARealSolver"}, strict=False)
+
+
+# --------------------------------------------------------------------------- #
+# `all`: every solver hits ‖Ax−b‖ < 1e-8 (test_linear_solver.cpp:103-164)
+# --------------------------------------------------------------------------- #
+
+ITERATIVE = ["CG", "BiCGSTAB", "GMRES", "MINRES", "LSCG"]
+DIRECT = ["SparseCholesky", "SparseLU"]
+DENSE = [
+    "Dense::LLT", "Dense::LDLT", "Dense::PartialPivLU", "Dense::FullPivLU",
+    "Dense::HouseholderQR", "Dense::ColPivHouseholderQR",
+    "Dense::FullPivHouseholderQR", "Dense::CompleteOrthogonalDecomposition",
+]
+COMPOSITE = ["AMG", "MAS"]
+
+
+@pytest.mark.parametrize("name", ITERATIVE + DIRECT + DENSE + COMPOSITE)
+def test_all_solvers(name, A_small, rng):
+    b = rng.standard_normal(A_small.shape[0])
+    params = {"tolerance": 1e-10, "max_iter": 5000} if name in ITERATIVE + COMPOSITE else {}
+    if name == "MAS":
+        params["abs_tolerance"] = 1e-10
+    x, s = _solve(name, A_small, b, params)
+    assert np.linalg.norm(A_small @ x - b) < 1e-8, name
+    assert s.name() == name  # name round-trip (test_linear_solver.cpp:119)
+    assert isinstance(s.get_info(), dict)
+
+
+@pytest.mark.parametrize(
+    "alias",
+    ["Eigen::ConjugateGradient", "Eigen::BiCGSTAB", "Eigen::GMRES", "Eigen::MINRES",
+     "Eigen::SimplicialLDLT", "Eigen::CholmodSupernodalLLT", "Pardiso",
+     "Eigen::SparseLU", "Eigen::LLT", "Eigen::PartialPivLU", "AMGCL", "Hypre",
+     "cuSolverDN"],
+)
+def test_reference_aliases(alias, A_small, rng):
+    """Every reference backend name keeps working (drop-in config parity)."""
+    b = rng.standard_normal(A_small.shape[0])
+    x, s = _solve(alias, A_small, b, {"tolerance": 1e-12, "max_iter": 5000}
+                  if resolve_solver_name(alias) in ITERATIVE + COMPOSITE else {})
+    assert np.linalg.norm(A_small @ x - b) < 1e-8, alias
+    assert s.name() == alias
+
+
+def test_cusolverdn_float(A_small, rng):
+    """fp32 dense LU, residual < 1e-6 (test_linear_solver.cpp:837)."""
+    b = rng.standard_normal(A_small.shape[0])
+    x, _ = _solve("cuSolverDN_float", A_small, b)
+    assert np.linalg.norm(A_small @ x - b) < 1e-6
+
+
+@pytest.mark.parametrize("precond", ["Identity", "Jacobi", "Chebyshev", "BlockJacobi",
+                                     "Eigen::DiagonalPreconditioner",
+                                     "Eigen::IncompleteCholesky"])
+def test_cg_with_preconds(precond, A_small, rng):
+    b = rng.standard_normal(A_small.shape[0])
+    x, _ = _solve("CG", A_small, b, {"tolerance": 1e-12, "max_iter": 5000},
+                  precond=precond)
+    assert np.linalg.norm(A_small @ x - b) < 1e-8, precond
+
+
+# --------------------------------------------------------------------------- #
+# `eigen_params`: parameter plumbing (test_linear_solver.cpp:166-202)
+# --------------------------------------------------------------------------- #
+
+
+def test_max_iter_respected(A_medium, rng):
+    b = rng.standard_normal(A_medium.shape[0])
+    x, s = _solve("CG", A_medium, b, {"max_iter": 3, "tolerance": 1e-14})
+    assert s.get_info()["solver_iter"] <= 3
+    # and looser max_iter converges
+    x, s = _solve("CG", A_medium, b, {"max_iter": 5000, "tolerance": 1e-12})
+    assert np.linalg.norm(A_medium @ x - b) < 1e-8
+
+
+def test_tolerance_plumbing(A_small, rng):
+    b = rng.standard_normal(A_small.shape[0])
+    _, s_loose = _solve("CG", A_small, b, {"tolerance": 1e-2, "max_iter": 1000})
+    _, s_tight = _solve("CG", A_small, b, {"tolerance": 1e-12, "max_iter": 1000})
+    assert s_loose.get_info()["solver_iter"] < s_tight.get_info()["solver_iter"]
+
+
+# --------------------------------------------------------------------------- #
+# `pre_factor`: symbolic/numeric split (test_linear_solver.cpp:241-307)
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("name", ["SparseCholesky", "CG", "AMG"])
+def test_prefactor_pattern_reuse(name, A_small, rng):
+    n = A_small.shape[0]
+    s = Solver.create({"solver": name, name: {"tolerance": 1e-12, "max_iter": 5000}},
+                      strict=False)
+    s.analyze_pattern(A_small, n)
+    for k in range(5):
+        # same pattern, different values (reference scales + perturbs)
+        Ak = sp.csr_matrix(A_small * (1.0 + 0.1 * k) + 0.05 * k * sp.identity(n))
+        s.factorize(Ak)
+        b = rng.standard_normal(n)
+        x = s.solve(b)
+        assert np.linalg.norm(Ak @ x - b) < 1e-8, (name, k)
+
+
+# --------------------------------------------------------------------------- #
+# warm start (hypre/amgcl `_initial_guess` tests, :309-455)
+# --------------------------------------------------------------------------- #
+
+
+def test_warm_start_amg(A_small, rng):
+    b = rng.standard_normal(A_small.shape[0])
+    x, s = _solve("AMG", A_small, b, {"tolerance": 1e-10, "max_iter": 1000})
+    first_iters = s.get_info()["num_iterations"]
+    x2 = s.solve(b, x)  # warm start from the solution
+    # reference: AMGCL converges in 0 iterations, Hypre in ≤ 1
+    assert s.get_info()["num_iterations"] <= 1
+    assert np.linalg.norm(A_small @ x2 - b) < 1e-8
+    assert first_iters >= s.get_info()["num_iterations"]
+
+
+def test_warm_start_cg(A_small, rng):
+    b = rng.standard_normal(A_small.shape[0])
+    x, s = _solve("CG", A_small, b, {"tolerance": 1e-10, "max_iter": 1000})
+    _ = s.solve(b, x)
+    assert s.get_info()["solver_iter"] <= 1
+
+
+# --------------------------------------------------------------------------- #
+# AMG block solver parity (amgcl_blocksolver_*, :489-731)
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("block", [2, 3])
+def test_amg_block_parity(block):
+    A = elasticity_like(8, b=block)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(A.shape[0])
+    x_s, s_s = _solve("AMG", A, b, {"tolerance": 1e-10, "max_iter": 1000})
+    x_b, s_b = _solve("AMG", A, b,
+                      {"tolerance": 1e-10, "max_iter": 1000, "block_size": block})
+    rel_s = np.linalg.norm(A @ x_s - b) / np.linalg.norm(b)
+    rel_b = np.linalg.norm(A @ x_b - b) / np.linalg.norm(b)
+    assert rel_s < 1e-7  # reference: < 1e-7 (test_linear_solver.cpp:600-601)
+    assert rel_b < 1e-7
+
+
+@pytest.mark.parametrize("block", [2, 3])
+def test_mas_block_dim(block):
+    """MAS block_dim 2/3 (reference MASSolver block_dim param)."""
+    A = elasticity_like(8, b=block)
+    rng = np.random.default_rng(8)
+    b = rng.standard_normal(A.shape[0])
+    x, s = _solve("MAS", A, b,
+                  {"tolerance": 1e-9, "abs_tolerance": 1e-10, "max_iter": 5000,
+                   "block_dim": block})
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-7
+
+
+# --------------------------------------------------------------------------- #
+# saddle point (test_linear_solver.cpp:457-486)
+# --------------------------------------------------------------------------- #
+
+
+def test_saddle_point():
+    """Stokes-like KKT system [[A, B],[Bᵀ, -eps I]] (stand-in for the A0/b0
+    fixture, precond_num 9934 — test_linear_solver.cpp:464-474)."""
+    rng = np.random.default_rng(5)
+    K = poisson2d(8)
+    p = K.shape[0]
+    m = 20
+    B = sp.random(p, m, density=0.2, random_state=1)
+    C = -1e-6 * sp.identity(m)
+    A = sp.bmat([[K, B], [B.T, C]], format="csr")
+    b = rng.standard_normal(p + m)
+    s = Solver.create({"solver": "SaddlePointSolver"}, strict=False)
+    s.analyze_pattern(A, p)
+    s.factorize(A)
+    x = s.solve(b)
+    assert np.linalg.norm(A @ x - b) < 1e-8
+
+
+# --------------------------------------------------------------------------- #
+# availability listings                                                       #
+# --------------------------------------------------------------------------- #
+
+
+def test_availability():
+    names = available_solvers()
+    assert default_solver() in names
+    assert "CG" in names and "Eigen::ConjugateGradient" in names
+    assert default_precond() in available_preconds()
+
+
+def test_multi_rhs(A_small, rng):
+    B = rng.standard_normal((A_small.shape[0], 3))
+    s = Solver.create("SparseCholesky")
+    s.analyze_pattern(A_small)
+    s.factorize(A_small)
+    X = s.solve(B)
+    assert np.linalg.norm(A_small @ X - B) < 1e-8
+
+
+def test_nullspace_hint(A_small, rng):
+    """set_is_nullspace feeds the AMG tentative prolongator
+    (reference Solver.hpp:114, HypreSolver.cpp:191-272)."""
+    b = rng.standard_normal(A_small.shape[0])
+    s = Solver.create({"solver": "AMG", "AMG": {"tolerance": 1e-10}}, strict=False)
+    s.set_is_nullspace(np.ones((A_small.shape[0], 1)))
+    s.analyze_pattern(A_small)
+    s.factorize(A_small)
+    x = s.solve(b)
+    assert np.linalg.norm(A_small @ x - b) < 1e-8
