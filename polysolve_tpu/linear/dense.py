@@ -28,9 +28,12 @@ from polysolve_tpu.types import default_dtype
 
 @functools.partial(jax.jit, static_argnames=("method",))
 def _dense_factor(method: str, A):
-    if method in ("llt", "ldlt"):
+    if method == "llt":
         return (jax.scipy.linalg.cho_factor(A, lower=True)[0],)
-    if method in ("lu", "fullpivlu"):
+    if method in ("lu", "fullpivlu", "ldlt"):
+        # "ldlt" = symmetric *indefinite* solver in Eigen (Bunch–Kaufman);
+        # XLA ships no symmetric-indefinite factorization, so pivoted LU
+        # provides the same solve capability (indefinite OK, singular fails)
         lu, piv = jax.scipy.linalg.lu_factor(A)
         return (lu, piv)
     if method in ("qr", "colpivqr", "fullpivqr", "cod"):
@@ -41,9 +44,9 @@ def _dense_factor(method: str, A):
 
 @functools.partial(jax.jit, static_argnames=("method",))
 def _dense_solve(method: str, factors, b):
-    if method in ("llt", "ldlt"):
+    if method == "llt":
         return jax.scipy.linalg.cho_solve((factors[0], True), b)
-    if method in ("lu", "fullpivlu"):
+    if method in ("lu", "fullpivlu", "ldlt"):
         return jax.scipy.linalg.lu_solve(factors, b)
     if method in ("qr", "colpivqr", "fullpivqr", "cod"):
         q, r = factors

@@ -1,0 +1,472 @@
+"""Nonlinear Solver driver (reference nonlinear/Solver.{hpp,cpp}).
+
+The driver is deliberately host-side Python orchestration (like the
+reference's C++): the heavy pieces — energy/gradient/Hessian evaluation (JAX,
+jit-cached), the Newton linear solve (the full linear stack incl. AMG/Pallas),
+and line-search energy evaluations — all run on device.
+
+Faithfully ported behavior:
+
+- factory with multi-strategy expansion (``Newton`` →
+  [Newton → ProjectedNewton → RegularizedNewton] + GradientDescent fallback —
+  reference Solver.cpp:147-186, Newton.cpp:14-58; an explicit JSON list picks
+  its own chain, pinned by the reference's `nonlinear-fallbacks` test);
+- the big minimize loop (reference Solver.cpp:254-553, walked in SURVEY.md
+  §3.3): energy/grad NaN guards, convergence check *before* the direction
+  ("avoid impossible linear solves"), strategy-failure fallback state machine
+  (:367-386), non-descent fallback (:405-434), line-search-failure fallback
+  (:457-472), revert-to-strongest after ``iterations_per_strategy`` successes
+  (:485-503);
+- finite-difference gradient verification modes (:624-680);
+- per-phase timing + ``solver_info`` (:586-622).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from polysolve_tpu import spec as spec_mod
+from polysolve_tpu.nonlinear import descent as descent_mod
+from polysolve_tpu.nonlinear.criteria import Criteria, Status, check_convergence
+from polysolve_tpu.nonlinear.line_search import create_line_search
+from polysolve_tpu.nonlinear.post_step import PostStepData
+from polysolve_tpu.nonlinear.problem import Problem
+from polysolve_tpu.utils import PhaseTimings, default_logger
+
+
+class NonlinearSolverError(RuntimeError):
+    """Raised on hard failures (NaN, exhausted strategies, iteration limit) —
+    the reference throws std::runtime_error with a typed Status message."""
+
+    def __init__(self, status: Status, message: str = ""):
+        super().__init__(f"{status.value}: {message}" if message else status.value)
+        self.status = status
+
+
+def build_nonlinear_spec_rules() -> List[Dict[str, Any]]:
+    """The nonlinear parameter surface (reference nonlinear-solver-spec.json;
+    defaults from BASELINE.md: grad_norm 1e-10, rel 1e-10, first 1e-12,
+    max_iterations 500)."""
+    f = lambda d, **kw: dict({"type": "float", "default": d}, **kw)
+    i = lambda d: {"type": "int", "default": d}
+    b = lambda d: {"type": "bool", "default": d}
+    tree = {
+        "x_delta": f(0.0, min=0),
+        "grad_norm": f(1e-10, min=0),
+        "first_grad_norm_tol": f(1e-12, min=0),
+        "relative_gradient": f(1e-10, min=0),
+        "rel_x_delta": f(0.0, min=0),
+        "newton_decrement": f(0.0, min=0),
+        "max_iterations": i(500),
+        "iterations_per_strategy": {"type": ["int", "list"], "default": 5},
+        "allow_out_of_iterations": b(False),
+        "line_search": {
+            "method": {"type": "string", "default": "RobustArmijo",
+                       "options": ["Backtracking", "Armijo", "ArmijoAlt",
+                                   "RobustArmijo", "MoreThuente", "None"]},
+            "use_grad_norm_tol": f(1e-6),
+            "min_step_size": f(1e-10),
+            "max_step_size_iter": i(30),
+            "min_step_size_final": f(1e-20),
+            "max_step_size_iter_final": i(100),
+            "default_init_step_size": f(1.0),
+            "step_ratio": f(0.5),
+            "c": f(1e-4),
+            "delta_relative_tolerance": f(0.1),
+        },
+        "advanced": {
+            "f_delta": f(0.0, min=0),
+            "f_delta_step_tol": i(100),
+            "derivative_along_delta_x_tol": f(0.0),
+            "apply_gradient_fd": {"type": "string", "default": "None",
+                                  "options": ["None", "DirectionalDerivative",
+                                              "FullFiniteDiff"]},
+            "gradient_fd_eps": f(1e-7),
+        },
+        "Newton": {
+            "residual_tolerance": f(1e-5),
+            "use_psd_projection": b(True),
+            "force_psd_projection": b(False),
+            "use_regularization": b(True),
+        },
+        "RegularizedNewton": {
+            "reg_weight_min": f(1e-8),
+            "reg_weight_max": f(1e8),
+            "reg_weight_inc": f(10.0),
+        },
+        "L-BFGS": {"history_size": i(6)},
+        "BFGS": {},
+        "ADAM": {
+            "alpha_learning_rate": f(0.001),
+            "beta_1": f(0.9),
+            "beta_2": f(0.999),
+            "epsilon": f(1e-8),
+        },
+        "StochasticADAM": {
+            "alpha_learning_rate": f(0.001),
+            "beta_1": f(0.9),
+            "beta_2": f(0.999),
+            "epsilon": f(1e-8),
+            "erase_component_probability": f(0.3),
+        },
+        "StochasticGradientDescent": {"erase_component_probability": f(0.3)},
+        "GradientDescent": {},
+        "MMA": {
+            "asyinit": f(0.5),
+            "asyincr": f(1.2),
+            "asydecr": f(0.7),
+        },
+        "L-BFGS-B": {"history_size": i(6)},
+        "box_constraints": {
+            "bounds": {"type": ["list", "list_of_float"], "default": []},
+            "max_change": {"type": ["float", "list", "list_of_float"],
+                           "default": -1.0},
+        },
+        "solver": {"type": ["string", "list_of_str"], "default": "Newton"},
+    }
+    return spec_mod.rules_for_subtree("/", tree)
+
+
+class Solver:
+    """The minimize driver. Use :meth:`create` (JSON factory) or construct
+    directly with a strategy list."""
+
+    # ------------------------------------------------------------------ #
+    # factory                                                            #
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def create(
+        cls,
+        solver_params: Optional[Dict[str, Any]] = None,
+        linear_solver_params: Optional[Dict[str, Any]] = None,
+        characteristic_length: float = 1.0,
+        logger: Optional[logging.Logger] = None,
+        strict: bool = True,
+    ) -> "Solver":
+        logger = logger or default_logger
+        params = spec_mod.validate_and_inject(
+            solver_params or {}, build_nonlinear_spec_rules(), strict=strict,
+            logger=logger,
+        )
+        solver = params.get("solver", "Newton")
+        names = solver if isinstance(solver, list) else None
+        strategies = []
+
+        def make(name: str, **kw):
+            name = "L-BFGS" if name == "LBFGS" else name
+            if name not in descent_mod.STRATEGIES:
+                raise ValueError(f"Unrecognized solver type: {name}")
+            cls_ = descent_mod.STRATEGIES[name]
+            sub = params.get(name, {})
+            if issubclass(cls_, descent_mod.Newton):
+                merged = dict(params.get("Newton", {}))
+                merged.update(params.get(name, {}))
+                return cls_(merged, logger,
+                            linear_solver_params=linear_solver_params,
+                            characteristic_length=characteristic_length)
+            return cls_(sub, logger)
+
+        if names is None:
+            # single name → expanded chain (reference Newton.cpp:14-58)
+            if solver in ("Newton", "DenseNewton"):
+                newton_params = params.get("Newton", {})
+                force_psd = bool(newton_params.get("force_psd_projection", False))
+                use_psd = bool(newton_params.get("use_psd_projection", True))
+                use_reg = bool(newton_params.get("use_regularization", True))
+                if not force_psd:
+                    strategies.append(make(solver))
+                if use_psd or force_psd:
+                    strategies.append(make("ProjectedNewton"))
+                if use_reg:
+                    strategies.append(make("RegularizedNewton"))
+                strategies.append(make("GradientDescent"))
+            elif solver == "GradientDescent":
+                strategies.append(make(solver))
+            else:
+                strategies.append(make(solver))
+                strategies.append(make("GradientDescent"))
+        else:
+            # explicit list = explicit chain (nonlinear-fallbacks test)
+            for name in names:
+                strategies.append(make(name))
+
+        line_search = create_line_search(params.get("line_search", {}), logger)
+        return cls(strategies, line_search, params,
+                   characteristic_length=characteristic_length, logger=logger)
+
+    # ------------------------------------------------------------------ #
+
+    def __init__(self, strategies: Sequence, line_search, params: Dict[str, Any],
+                 characteristic_length: float = 1.0,
+                 logger: Optional[logging.Logger] = None):
+        if not strategies:
+            raise ValueError("at least one descent strategy required")
+        self.strategies = list(strategies)
+        self.m_line_search = line_search
+        self.params = params
+        self.characteristic_length = float(characteristic_length)
+        self.logger = logger or default_logger
+        self.stop = Criteria()
+        self.current = Criteria()
+        self.status = Status.NOT_STARTED
+        self.allow_out_of_iterations = bool(params.get("allow_out_of_iterations",
+                                                       False))
+        adv = params.get("advanced", {})
+        self.f_delta_step_tol = int(adv.get("f_delta_step_tol", 100))
+        self.gradient_fd_strategy = adv.get("apply_gradient_fd", "None")
+        self.gradient_fd_eps = float(adv.get("gradient_fd_eps", 1e-7))
+        ips = params.get("iterations_per_strategy", 5)
+        if isinstance(ips, list):
+            self.iterations_per_strategy = [int(v) for v in ips]
+        else:
+            self.iterations_per_strategy = [int(ips)] * len(self.strategies)
+        self.timings = PhaseTimings()
+        self.solver_info: Dict[str, Any] = {}
+        self._reset_stop_criteria()
+
+    def add_strategy(self, strategy) -> None:
+        """Append a fallback strategy (reference Solver.hpp:61)."""
+        self.strategies.append(strategy)
+        self.iterations_per_strategy.append(self.iterations_per_strategy[-1])
+
+    # ------------------------------------------------------------------ #
+
+    def _reset_stop_criteria(self) -> None:
+        """Tolerance rescaling by characteristic length
+        (reference Solver.hpp:109-121)."""
+        p = self.params
+        L = self.characteristic_length
+        self.stop = Criteria(
+            iterations=int(p.get("max_iterations", 500)),
+            x_delta=float(p.get("x_delta", 0.0)) * L,
+            f_delta=float(p.get("advanced", {}).get("f_delta", 0.0)) * L,
+            grad_norm=float(p.get("grad_norm", 1e-10)) * L,
+            first_grad_norm=float(p.get("first_grad_norm_tol", 1e-12)) * L,
+            rel_x_delta=float(p.get("rel_x_delta", 0.0)),
+            rel_grad_norm=float(p.get("relative_gradient", 1e-10)),
+            newton_decrement=float(p.get("newton_decrement", 0.0)) * L,
+        )
+
+    def _reset(self, ndof: int) -> None:
+        self.current = Criteria()
+        self.status = Status.CONTINUE
+        self._descent_strategy = 0
+        self._strategy_success_streak = 0
+        for s in self.strategies:
+            s.reset(ndof)
+        self.timings = PhaseTimings()
+        self.solver_info = {}
+
+    def _grad_norm_for_convergence(self, problem: Problem, x: np.ndarray,
+                                   grad: np.ndarray) -> float:
+        """Convergence measure; BoxConstraintSolver overrides with the
+        projected-gradient norm (BoxConstraintSolver.cpp:96-110)."""
+        return problem.gradient_norm(grad)
+
+    # ------------------------------------------------------------------ #
+    # gradient verification (reference Solver.cpp:624-680)               #
+    # ------------------------------------------------------------------ #
+
+    def _verify_gradient(self, problem: Problem, x: np.ndarray,
+                         grad: np.ndarray) -> None:
+        if self.gradient_fd_strategy == "None":
+            return
+        eps = self.gradient_fd_eps
+        if self.gradient_fd_strategy == "DirectionalDerivative":
+            rng = np.random.default_rng(0)
+            d = rng.standard_normal(len(x))
+            d /= np.linalg.norm(d)
+            fd = (problem.value(x + eps * d) - problem.value(x - eps * d)) / (2 * eps)
+            an = float(grad @ d)
+            if abs(fd - an) > 10 * eps * (1 + abs(an)):
+                self.logger.warning(
+                    "gradient verification failed: directional fd %.6e vs analytic %.6e",
+                    fd, an)
+        elif self.gradient_fd_strategy == "FullFiniteDiff":
+            fd = np.empty_like(grad)
+            for i in range(len(x)):
+                e = np.zeros_like(x)
+                e[i] = eps
+                fd[i] = (problem.value(x + e) - problem.value(x - e)) / (2 * eps)
+            err = np.linalg.norm(fd - grad)
+            if err > 10 * eps * (1 + np.linalg.norm(grad)):
+                self.logger.warning(
+                    "gradient verification failed: full fd error %.6e", err)
+
+    # ------------------------------------------------------------------ #
+    # the big loop (reference Solver.cpp:254-553; SURVEY.md §3.3)        #
+    # ------------------------------------------------------------------ #
+
+    def minimize(self, problem: Problem, x: np.ndarray) -> np.ndarray:
+        x = np.array(x, dtype=np.float64)
+        t_start = time.perf_counter()
+        self._reset_stop_criteria()
+        self._reset(len(x))
+
+        with self.timings.scope("constraint_set_update"):
+            problem.solution_changed(x)
+
+        def fail(status: Status, msg: str = ""):
+            self.status = status
+            self._update_solver_info(time.perf_counter() - t_start)
+            raise NonlinearSolverError(status, msg)
+
+        while True:
+            on_last_strategy = self._descent_strategy == len(self.strategies) - 1
+            strategy = self.strategies[self._descent_strategy]
+
+            # -- energy (reference :296-307)
+            with self.timings.scope("obj_fun"):
+                energy = problem.value(x)
+            if not np.isfinite(energy):
+                fail(Status.NAN_ENCOUNTERED, "energy is NaN/inf")
+            # -- gradient (:312-320)
+            with self.timings.scope("grad"):
+                grad = np.asarray(problem.gradient(x), dtype=np.float64)
+            if not np.all(np.isfinite(grad)):
+                fail(Status.NAN_ENCOUNTERED, "gradient has NaN/inf")
+            self._verify_gradient(problem, x, grad)
+
+            grad_norm = self._grad_norm_for_convergence(problem, x, grad)
+            self.current.energy = energy
+            self.current.grad_norm = grad_norm
+            if self.current.iterations == 0:
+                self.current.first_grad_norm = grad_norm
+            self.current.rel_grad_norm = grad_norm / max(
+                self.current.first_grad_norm, 1e-300)
+
+            # -- convergence check #1, before the direction (:322-346)
+            self.status = check_convergence(self.current, self.stop,
+                                            self.f_delta_step_tol)
+            if self.status != Status.CONTINUE:
+                break
+
+            # -- update direction (:350-354)
+            with self.timings.scope("update_direction"):
+                direction = strategy.compute_update_direction(problem, x, grad)
+
+            bad = direction is None or not np.all(np.isfinite(direction))
+            if not bad:
+                self.current.x_delta_dot_grad = float(direction @ grad)
+                # non-descent rejection only for strategies that promise descent
+                if strategy.is_direction_descent() and \
+                        self.current.x_delta_dot_grad >= 0:
+                    bad = True
+            if bad:
+                # strategy failure path (:367-386, :405-434)
+                if strategy.handle_error():
+                    continue  # retry same strategy (e.g. increased reg weight)
+                if on_last_strategy:
+                    fail(Status.UPDATE_DIRECTION_FAILED
+                         if direction is None or not np.all(np.isfinite(direction))
+                         else Status.NOT_DESCENT_DIRECTION,
+                         f"strategy {strategy.name()} failed on last fallback")
+                self.logger.debug("strategy %s failed; falling back", strategy.name())
+                self._descent_strategy += 1
+                self._strategy_success_streak = 0
+                continue
+
+            # -- optional Newton decrement (:390-403)
+            if self.stop.newton_decrement > 0:
+                self.current.newton_decrement = float(
+                    np.sqrt(max(-self.current.x_delta_dot_grad, 0.0)))
+
+            # -- convergence check #2 (:436-441)
+            self.status = check_convergence(self.current, self.stop,
+                                            self.f_delta_step_tol)
+            if self.status != Status.CONTINUE:
+                break
+
+            # -- line search (:450-455)
+            self.m_line_search.is_final_strategy = on_last_strategy
+            with self.timings.scope("line_search"):
+                rate = self.m_line_search.line_search(x, direction, problem)
+            if not np.isfinite(rate):
+                if strategy.handle_error():
+                    continue
+                if on_last_strategy:
+                    fail(Status.LINE_SEARCH_FAILED,
+                         f"line search failed for {strategy.name()}")
+                self.logger.debug("line search failed for %s; falling back",
+                                  strategy.name())
+                self._descent_strategy += 1
+                self._strategy_success_streak = 0
+                continue
+
+            # -- accept step (:474-479)
+            new_x = x + rate * direction
+            problem.after_line_search_custom_operation(x, new_x)
+            with self.timings.scope("constraint_set_update"):
+                problem.solution_changed(new_x)
+            new_energy = problem.value(new_x)
+
+            self.current.x_delta = rate * np.linalg.norm(direction)
+            self.current.rel_x_delta = self.current.x_delta / max(
+                np.linalg.norm(new_x), 1e-300)
+            self.current.f_delta = abs(new_energy - energy)
+            x = new_x
+            strategy.update_solution(x, grad)
+
+            # -- strategy bookkeeping: revert to the strongest strategy after
+            #    a success streak (:485-503)
+            if self._descent_strategy != 0:
+                self._strategy_success_streak += 1
+                if self._strategy_success_streak >= \
+                        self.iterations_per_strategy[self._descent_strategy]:
+                    self.logger.debug("reverting to strategy 0 after %d successes",
+                                      self._strategy_success_streak)
+                    self._descent_strategy = 0
+                    self._strategy_success_streak = 0
+
+            self.current.iterations += 1
+            self._update_solver_info(time.perf_counter() - t_start)
+            problem.post_step(PostStepData(self.current.iterations,
+                                           self.solver_info, x, grad))
+
+            # -- user stop (:516-520)
+            if problem.stop(x):
+                self.status = Status.OBJECTIVE_CUSTOM_STOP
+                break
+            if not problem.callback(self.current, x):
+                self.status = Status.OBJECTIVE_CUSTOM_STOP
+                break
+
+        # -- post-loop status handling (:538-539)
+        total = time.perf_counter() - t_start
+        self._update_solver_info(total)
+        if self.status == Status.ITERATION_LIMIT and not self.allow_out_of_iterations:
+            raise NonlinearSolverError(Status.ITERATION_LIMIT,
+                                       f"reached {self.stop.iterations} iterations")
+        self.logger.debug("minimize finished: %s | %s", self.status.value,
+                          self.current.print())
+        return x
+
+    # ------------------------------------------------------------------ #
+
+    def _update_solver_info(self, total_time: float) -> None:
+        """solver_info json (reference Solver.cpp:586-622)."""
+        it = max(self.current.iterations, 1)
+        info = {
+            "status": self.status.value,
+            "energy": self.current.energy,
+            "iterations": self.current.iterations,
+            "grad_norm": self.current.grad_norm,
+            "x_delta": self.current.x_delta,
+            "f_delta": self.current.f_delta,
+            "total_time": total_time,
+            "descent_strategy": self.strategies[self._descent_strategy].name(),
+            "line_search_iterations": getattr(self.m_line_search, "iterations", 0),
+        }
+        info.update(self.timings.as_dict(per=it))
+        for s in self.strategies:
+            if "internal_solver" in s.info:
+                info["internal_solver"] = s.info["internal_solver"]
+        self.solver_info = info
+
+    def get_info(self) -> Dict[str, Any]:
+        return dict(self.solver_info)
