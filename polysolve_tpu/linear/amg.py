@@ -221,6 +221,14 @@ def _aggregate(A: sp.csr_matrix, eps: float, block_size: int = 1):
         agg_nodes, n_agg = _aggregate(An, eps, 1)
         return np.repeat(agg_nodes, block_size), n_agg
 
+    # native Vaněk greedy aggregation when available (cpp/host_kernels.cpp;
+    # sequential but C++-fast — the quality reference); numpy MIS fallback
+    from polysolve_tpu import native
+
+    nat = native.greedy_aggregate(A, eps)
+    if nat is not None:
+        return nat
+
     S = _strength_graph(A, eps)
     rng = np.random.default_rng(12345)
     pri = rng.random(n)

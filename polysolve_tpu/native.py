@@ -1,0 +1,154 @@
+"""ctypes bindings for the native host kernels (cpp/host_kernels.cpp).
+
+The reference keeps its setup-phase graph work in native code (KaMinPar
+partitioning — GraphPartition.cpp, GPU BSR packing — BSRMatrix.cu, vendor AMD
+orderings inside CHOLMOD/Pardiso). This module is our equivalent: RCM
+ordering, greedy aggregation, ELL packing, halo-map computation — all C++,
+loaded via ctypes (pybind11 is not in the image).
+
+If the shared library is missing it is built on first use (g++ is baked in);
+if that fails, callers fall back to the scipy/numpy implementations — the
+native path is a performance feature, never a correctness dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_HERE, "_native", "libhostkernels.so")
+_SRC = os.path.join(os.path.dirname(_HERE), "cpp", "host_kernels.cpp")
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _SO_PATH],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.rcm_order.restype = ctypes.c_int
+    lib.rcm_order.argtypes = [_i64p, _i32p, ctypes.c_int64, _i32p]
+    lib.greedy_aggregate.restype = ctypes.c_int64
+    lib.greedy_aggregate.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
+                                     ctypes.c_double, _f64p, _i64p]
+    lib.csr_to_ell.restype = ctypes.c_int64
+    lib.csr_to_ell.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
+                               ctypes.c_int64, _i32p, _f64p]
+    lib.partition_halos.restype = ctypes.c_int
+    lib.partition_halos.argtypes = [_i64p, _i32p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64, _i64p, _i64p]
+    lib.csr_bandwidth.restype = ctypes.c_int64
+    lib.csr_bandwidth.argtypes = [_i64p, _i32p, ctypes.c_int64]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _csr_arrays(A):
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    return indptr, indices
+
+
+def rcm_order(A) -> Optional[np.ndarray]:
+    """Native reverse Cuthill–McKee; None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices = _csr_arrays(A)
+    n = A.shape[0]
+    perm = np.empty(n, dtype=np.int32)
+    if lib.rcm_order(indptr, indices, n, perm) != 0:
+        return None
+    return perm.astype(np.int64)
+
+
+def greedy_aggregate(A, eps: float) -> Optional[Tuple[np.ndarray, int]]:
+    """Native Vaněk greedy aggregation on |A| with strength threshold eps."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    indptr, indices = _csr_arrays(A)
+    weights = np.ascontiguousarray(np.abs(A.data), dtype=np.float64)
+    diag = np.ascontiguousarray(np.abs(A.diagonal()), dtype=np.float64)
+    diag[diag == 0] = 1.0
+    n = A.shape[0]
+    agg = np.empty(n, dtype=np.int64)
+    n_agg = lib.greedy_aggregate(indptr, indices, weights, n, float(eps),
+                                 diag, agg)
+    if n_agg <= 0:
+        return None
+    return agg, int(n_agg)
+
+
+def csr_to_ell(A, width: int) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """Native CSR→ELL packing: returns (cols (n,w) int32, vals (n,w) f64, maxdeg)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices = _csr_arrays(A)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    n = A.shape[0]
+    cols = np.empty((n, width), dtype=np.int32)
+    vals = np.empty((n, width), dtype=np.float64)
+    maxdeg = lib.csr_to_ell(indptr, indices, data, n, width, cols, vals)
+    if maxdeg < 0:
+        return None
+    return cols, vals, int(maxdeg)
+
+
+def partition_halos(A, n_shards: int, rows_per: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices = _csr_arrays(A)
+    lo = np.empty(n_shards, dtype=np.int64)
+    hi = np.empty(n_shards, dtype=np.int64)
+    lib.partition_halos(indptr, indices, A.shape[0], n_shards, rows_per, lo, hi)
+    return lo, hi
+
+
+def csr_bandwidth(A) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices = _csr_arrays(A)
+    return int(lib.csr_bandwidth(indptr, indices, A.shape[0]))

@@ -138,7 +138,7 @@ def _pallas_dia_overlap(vals, x, offsets, tile):
         grid=(n // tile,),
         in_specs=[
             pl.BlockSpec((tile, K), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile,), lambda i: (i,)),
         scratch_shapes=[

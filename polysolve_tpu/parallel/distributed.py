@@ -48,6 +48,18 @@ def sharded_dia_matvec(vals_loc: jnp.ndarray, x_loc: jnp.ndarray,
     Assumes halo width ≤ r (always true for band ≪ shard size).
     """
     L, R = _halo_widths(offsets)
+    r = x_loc.shape[0]
+    if L > r or R > r:
+        # halo wider than a shard (tiny systems / many devices): fall back to
+        # a full all-gather of x — still one collective per SpMV
+        xg = lax.all_gather(x_loc, axis, tiled=True)
+        xp_full = jnp.pad(xg, (L, R))
+        start = lax.axis_index(axis) * r
+        y = jnp.zeros(r, dtype=jnp.result_type(vals_loc.dtype, x_loc.dtype))
+        for k, off in enumerate(offsets):
+            seg = lax.dynamic_slice_in_dim(xp_full, start + off + L, r)
+            y = y + vals_loc[:, k] * seg
+        return y
     parts = []
     if L > 0:
         # my left halo = right edge of my left neighbor (shift right: i → i+1)
@@ -60,7 +72,6 @@ def sharded_dia_matvec(vals_loc: jnp.ndarray, x_loc: jnp.ndarray,
                              perm=[(i + 1, i) for i in range(n_shards - 1)])
         parts.append(right)
     xp = jnp.concatenate(parts) if len(parts) > 1 else x_loc
-    r = x_loc.shape[0]
     y = jnp.zeros(r, dtype=jnp.result_type(vals_loc.dtype, x_loc.dtype))
     for k, off in enumerate(offsets):
         y = y + vals_loc[:, k] * lax.slice_in_dim(xp, L + off, L + off + r)

@@ -114,14 +114,22 @@ def ell_from_scipy(A: sp.spmatrix, dtype=None, width: Optional[int] = None,
     W = int(max(deg.max(initial=0), min_width)) if width is None else int(width)
     if deg.max(initial=0) > W:
         raise ValueError(f"requested ELL width {W} < max row degree {deg.max()}")
-    cols = np.zeros((n, W), dtype=np.int32)
-    vals = np.zeros((n, W), dtype=np.float64)
-    # ragged rows -> padded rows
-    idx = np.arange(len(A.indices))
-    row_of = np.repeat(np.arange(n), deg)
-    pos_in_row = idx - A.indptr[row_of]
-    cols[row_of, pos_in_row] = A.indices
-    vals[row_of, pos_in_row] = A.data
+    packed = None
+    if n >= 10000:  # native packer (cpp/host_kernels.cpp csr_to_ell)
+        from polysolve_tpu import native
+
+        packed = native.csr_to_ell(A, W)
+    if packed is not None:
+        cols, vals, _ = packed
+    else:
+        cols = np.zeros((n, W), dtype=np.int32)
+        vals = np.zeros((n, W), dtype=np.float64)
+        # ragged rows -> padded rows
+        idx = np.arange(len(A.indices))
+        row_of = np.repeat(np.arange(n), deg)
+        pos_in_row = idx - A.indptr[row_of]
+        cols[row_of, pos_in_row] = A.indices
+        vals[row_of, pos_in_row] = A.data
     return ELLMatrix(
         vals=jnp.asarray(vals, dtype=dtype),
         cols=jnp.asarray(cols),

@@ -1,0 +1,116 @@
+"""AMG hierarchy unit tests (setup invariants + convergence quality —
+the reference pins AMGCL behavior only end-to-end; these white-box checks
+guard the smoothed-aggregation construction, amg.py)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from polysolve_tpu.linear.amg import AMGHierarchy, cycle, _aggregate
+from polysolve_tpu.types import ell_to_scipy
+from conftest import poisson2d, poisson3d
+
+
+def test_hierarchy_shrinks():
+    A = poisson2d(40)  # n=1600
+    h = AMGHierarchy.setup(A, {"coarse_enough": 50, "max_levels": 6})
+    assert len(h.level_sizes) >= 2
+    for a, b in zip(h.level_sizes, h.level_sizes[1:]):
+        assert b < a  # strict coarsening
+    assert h.level_sizes[-1] <= 3 * 50  # coarse level reasonably small
+    assert h.operator_complexity < 3.0
+
+
+def test_aggregation_covers_all():
+    A = poisson2d(20)
+    agg, n_agg = _aggregate(sp.csr_matrix(A), 0.08)
+    assert agg.min() >= 0
+    assert agg.max() == n_agg - 1
+    assert len(np.unique(agg)) == n_agg
+    sizes = np.bincount(agg)
+    assert sizes.max() <= 30  # aggregates stay local
+
+
+def test_galerkin_consistency():
+    """A_coarse == Rᵀ A P for the stored device operators."""
+    A = sp.csr_matrix(poisson2d(24))
+    h = AMGHierarchy.setup(A, {"coarse_enough": 20, "max_levels": 3})
+    lev = h.state.levels[0]
+    P = ell_to_scipy(lev.P)
+    R = ell_to_scipy(lev.R)
+    assert abs(R - P.T).max() < 1e-12
+    if len(h.state.levels) > 1:
+        Ac = ell_to_scipy(h.state.levels[1].A)
+        Ac_ref = sp.csr_matrix(R @ A @ P)
+        assert abs(Ac - Ac_ref).max() < 1e-10
+
+
+def test_cycle_reduces_error():
+    """One V-cycle must reduce the energy-norm error substantially on Poisson
+    (the convergence-factor contract that makes AMG-PCG fast)."""
+    A = sp.csr_matrix(poisson3d(10))
+    n = A.shape[0]
+    h = AMGHierarchy.setup(A, {"coarse_enough": 60, "max_levels": 4})
+    rng = np.random.default_rng(0)
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    x = np.zeros(n)
+    errs = [np.linalg.norm(x - x_true)]
+    for _ in range(5):
+        r = b - A @ x
+        x = x + np.asarray(cycle(h.state, jnp.asarray(r)))
+        errs.append(np.linalg.norm(x - x_true))
+    # average reduction factor well below 1
+    factor = (errs[-1] / errs[0]) ** (1 / 5)
+    assert factor < 0.35, f"V-cycle factor {factor:.3f}"
+
+
+def test_cg_amg_iteration_count():
+    """AMG-PCG on 3D Poisson converges in O(10) iterations, and the count is
+    grid-size-stable (the whole point of multigrid)."""
+    from polysolve_tpu.linear import Solver
+
+    iters = {}
+    for m in (8, 12):
+        A = poisson3d(m)
+        rng = np.random.default_rng(1)
+        b = rng.standard_normal(A.shape[0])
+        s = Solver.create({"solver": "AMG",
+                           "AMG": {"tolerance": 1e-10, "max_iter": 200,
+                                   "coarse_enough": 50}}, strict=False)
+        s.analyze_pattern(A)
+        s.factorize(A)
+        x = s.solve(b)
+        assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-9
+        iters[m] = s.get_info()["num_iterations"]
+    assert iters[8] <= 30 and iters[12] <= 30
+    assert iters[12] <= iters[8] + 10  # near-constant iteration count
+
+
+def test_block_nullspace_dims():
+    """block_size=2 builds 2 coarse dofs per aggregate."""
+    from polysolve_tpu.linear.amg import _initial_nullspace, _tentative_prolongator
+
+    B = _initial_nullspace(8, 2, None)
+    assert B.shape == (8, 2)
+    agg = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    P, Bc = _tentative_prolongator(agg, 2, B)
+    assert P.shape == (8, 4)
+    assert Bc.shape == (4, 2)
+    # tentative P exactly reproduces the nullspace: P @ Bc == B
+    assert np.allclose(P @ Bc, B, atol=1e-12)
+
+
+def test_rbm_nullspace_preserved():
+    """User-provided near-nullspace (RBMs) is exactly reproduced by P·Bc
+    (the interp_rbms/GM-2 contract, HypreSolver.cpp:191-272)."""
+    from polysolve_tpu.linear.amg import _tentative_prolongator
+
+    rng = np.random.default_rng(2)
+    n, k = 30, 3
+    B = rng.standard_normal((n, k))
+    agg = np.repeat(np.arange(6), 5)
+    P, Bc = _tentative_prolongator(agg, 6, B)
+    assert np.allclose(P @ Bc, B, atol=1e-10)

@@ -1,0 +1,124 @@
+"""Device-format and SpMV kernel tests (formats: ELL / DIA / block-ELL;
+the format layer replaces the reference's CSC StiffnessMatrix + cuSPARSE
+SpMV — Types.hpp:11-15, CuSparseWrapper.hpp)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from polysolve_tpu.types import (
+    ELLMatrix, ell_from_scipy, ell_to_scipy, dia_from_scipy, bell_from_scipy,
+    sparse_identity,
+)
+from polysolve_tpu.ops.spmv import to_device_matrix, matvec, matmat, rmatvec
+from conftest import poisson2d, poisson3d, elasticity_like
+
+
+@pytest.fixture
+def A_rand():
+    rng = np.random.default_rng(1)
+    A = sp.random(80, 80, density=0.08, random_state=2) + sp.identity(80)
+    return sp.csr_matrix(A)
+
+
+def test_ell_matvec(A_rand, rng):
+    x = rng.standard_normal(80)
+    Ad = ell_from_scipy(A_rand)
+    assert np.allclose(np.asarray(Ad.matvec(jnp.asarray(x))), A_rand @ x, atol=1e-13)
+
+
+def test_ell_rmatvec(A_rand, rng):
+    y = rng.standard_normal(80)
+    Ad = ell_from_scipy(A_rand)
+    assert np.allclose(np.asarray(rmatvec(Ad, jnp.asarray(y))), A_rand.T @ y,
+                       atol=1e-13)
+
+
+def test_ell_matmat(A_rand, rng):
+    X = rng.standard_normal((80, 5))
+    Ad = ell_from_scipy(A_rand)
+    assert np.allclose(np.asarray(matmat(Ad, jnp.asarray(X))), A_rand @ X,
+                       atol=1e-13)
+
+
+def test_ell_round_trip(A_rand):
+    assert abs(ell_to_scipy(ell_from_scipy(A_rand)) - A_rand).max() < 1e-14
+
+
+def test_dia_matvec(rng):
+    A = poisson3d(8)
+    x = rng.standard_normal(A.shape[0])
+    Ad = dia_from_scipy(A)
+    assert len(Ad.offsets) == 7  # 7-point stencil
+    assert np.allclose(np.asarray(Ad.matvec(jnp.asarray(x))), A @ x, atol=1e-13)
+
+
+def test_dia_rectangular_band(rng):
+    # band matrix with asymmetric offsets
+    n = 60
+    A = sp.diags([np.full(n - 3, 2.0), np.full(n, 5.0), np.full(n - 1, -1.0)],
+                 [-3, 0, 1], format="csr")
+    x = rng.standard_normal(n)
+    Ad = dia_from_scipy(A)
+    assert np.allclose(np.asarray(Ad.matvec(jnp.asarray(x))), A @ x, atol=1e-13)
+
+
+def test_bell_matvec(rng):
+    A = elasticity_like(6, b=3)
+    x = rng.standard_normal(A.shape[0])
+    Ad = bell_from_scipy(A, 3)
+    assert np.allclose(np.asarray(Ad.matvec(jnp.asarray(x))), A @ x, atol=1e-12)
+    assert np.allclose(np.asarray(Ad.diagonal()), A.diagonal(), atol=1e-12)
+
+
+def test_bell_padding(rng):
+    """Block size not dividing n → identity-padded tail (BSRMatrix.cu:180-200)."""
+    A = sp.csr_matrix(sp.random(50, 50, density=0.1, random_state=3)
+                      + sp.identity(50))
+    Ad = bell_from_scipy(A, 4)  # 50 % 4 != 0
+    assert Ad.shape[0] % 4 == 0
+    x = rng.standard_normal(Ad.shape[0])
+    y = np.asarray(Ad.matvec(jnp.asarray(x)))
+    assert np.allclose(y[:50], A @ x[:50] , atol=1e-12)
+
+
+def test_auto_format_selection():
+    assert type(to_device_matrix(poisson3d(8))).__name__ == "DIAMatrix"
+    rng_mat = sp.random(300, 300, density=0.05, random_state=4) + sp.identity(300)
+    assert type(to_device_matrix(sp.csr_matrix(rng_mat))).__name__ == "ELLMatrix"
+    assert type(to_device_matrix(poisson2d(10), block_size=2)).__name__ == \
+        "BlockELLMatrix"
+
+
+def test_sparse_identity(rng):
+    x = rng.standard_normal(17)
+    I = sparse_identity(17)
+    assert np.allclose(np.asarray(I.matvec(jnp.asarray(x))), x)
+
+
+def test_pallas_dia_interpret(rng):
+    """The Pallas DIA kernel in interpreter mode (CPU) matches."""
+    from polysolve_tpu.ops.spmv import _pallas_dia_overlap
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    A = poisson2d(16)  # n=256
+    Ad = dia_from_scipy(A, dtype=jnp.float32)
+    x = rng.standard_normal(256).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = _pallas_dia_overlap(Ad.vals, jnp.asarray(x), Ad.offsets, 64)
+    assert np.allclose(np.asarray(y), (A @ x).astype(np.float32), atol=1e-4)
+
+
+def test_native_ell_pack_matches_numpy():
+    """Native C++ packer vs numpy packer produce identical device matrices."""
+    from polysolve_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    A = sp.csr_matrix(poisson2d(110))  # n = 12100 > native threshold
+    Ad = ell_from_scipy(A)  # uses native path (n >= 10000)
+    assert abs(ell_to_scipy(Ad) - A).max() < 1e-14
