@@ -109,11 +109,18 @@ class AMGHierarchy:
     state: AMGState
     level_sizes: list
     operator_complexity: float
+    aggregates: list = None  # per-level aggregation maps (pattern-reuse cache)
 
     @staticmethod
     def setup(A: sp.spmatrix, params: Dict[str, Any] = None, block_size: int = 1,
               nullspace: Optional[np.ndarray] = None,
-              logger: Optional[logging.Logger] = None) -> "AMGHierarchy":
+              logger: Optional[logging.Logger] = None,
+              reuse_aggregates: Optional[list] = None) -> "AMGHierarchy":
+        """Build the hierarchy. ``reuse_aggregates`` (from a previous
+        hierarchy on the same sparsity pattern) skips the aggregation phase —
+        the Newton-loop refactorization optimization: the reference rebuilds
+        AMGCL's hierarchy from scratch every factorize (AMGCL.cpp:148-184);
+        we re-coarsen only values (SURVEY.md §7 hard-part #2)."""
         params = params or {}
         max_levels = int(params.get("max_levels", 6))
         coarse_enough = int(params.get("coarse_enough", 500))
@@ -129,12 +136,18 @@ class AMGHierarchy:
 
         levels = []
         sizes = [n]
+        aggregates = []
         total_nnz = A0.nnz
         Al, Bl = A0, B
         while Al.shape[0] > coarse_enough and len(levels) < max_levels - 1:
-            agg, n_agg = _aggregate(Al, eps_strong, block_size if len(levels) == 0 else 1)
+            if reuse_aggregates is not None and len(levels) < len(reuse_aggregates):
+                agg, n_agg = reuse_aggregates[len(levels)]
+            else:
+                agg, n_agg = _aggregate(Al, eps_strong,
+                                        block_size if len(levels) == 0 else 1)
             if n_agg >= Al.shape[0]:  # no coarsening progress
                 break
+            aggregates.append((agg, n_agg))
             P_tent, Bc = _tentative_prolongator(agg, n_agg, Bl)
             P = _smooth_prolongator(Al, P_tent, omega)
             R = sp.csr_matrix(P.T)
@@ -163,7 +176,8 @@ class AMGHierarchy:
             logger.debug("AMG hierarchy: sizes=%s complexity=%.2f",
                          sizes, total_nnz / max(A0.nnz, 1))
         return AMGHierarchy(state=state, level_sizes=sizes,
-                            operator_complexity=total_nnz / max(A0.nnz, 1))
+                            operator_complexity=total_nnz / max(A0.nnz, 1),
+                            aggregates=aggregates)
 
 
 def _initial_nullspace(n: int, block_size: int, nullspace) -> np.ndarray:

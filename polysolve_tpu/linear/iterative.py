@@ -154,6 +154,12 @@ class KrylovSolver(Solver):
             "solver_error": self._error,
             "num_iterations": self._iters,
             "final_res_norm": self._error,
+            # converged == the loop exited on the residual test, not on the
+            # iteration cap or a breakdown (error is the relative residual)
+            "converged": bool(np.isfinite(self._error)
+                              and (self._error <= self._tol()
+                                   or (self._iters < self._max_iter()
+                                       and self._error < 1.0))),
         }
 
 
@@ -232,14 +238,34 @@ class AMGSolver(KrylovSolver):
         tree["pre_max_iter"] = {"type": "int", "default": 1}  # Hypre param
         return tree
 
+    def __init__(self):
+        super().__init__()
+        self._hier = None
+        self._pattern = None
+
     def factorize(self, A: sp.spmatrix) -> None:
+        from polysolve_tpu.linear import amg as amg_mod
+
         bs = int(self.params.get("block_size", self.block_size))
         self.block_size = bs
         self.A_host = sp.csr_matrix(A)
+        self.A_host.sort_indices()
         self.A_dev = ops.to_device_matrix(self.A_host, block_size=1)
         amg_params = {k: self.params[k] for k in _amg_param_tree() if k in self.params}
         amg_params.update(self._precond_params("AMG"))
-        self.pstate = preconditioners.make(
-            "AMG", self.A_host, self.A_dev, params=amg_params,
-            block_size=bs, nullspace=self.nullspace, logger=self.logger,
+        # pattern-reuse: same sparsity ⇒ keep the aggregation, rebuild values
+        # only (the reference rebuilds AMGCL fully each factorize —
+        # AMGCL.cpp:148-184; we beat that, per SURVEY.md §7 hard-part #2)
+        pattern = (self.A_host.shape, self.A_host.indptr, self.A_host.indices)
+        reuse = None
+        if (self._hier is not None and self._pattern is not None
+                and self._pattern[0] == pattern[0]
+                and np.array_equal(self._pattern[1], pattern[1])
+                and np.array_equal(self._pattern[2], pattern[2])):
+            reuse = self._hier.aggregates
+        self._hier = amg_mod.AMGHierarchy.setup(
+            self.A_host, amg_params, block_size=bs, nullspace=self.nullspace,
+            logger=self.logger, reuse_aggregates=reuse,
         )
+        self._pattern = pattern
+        self.pstate = self._hier.state

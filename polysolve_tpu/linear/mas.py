@@ -56,6 +56,7 @@ class MASSolver(KrylovSolver):
             "tolerance": leaf_f(1e-5),
             "abs_tolerance": leaf_f(1e-8),
             "bank_size": leaf_i(32),          # BANK_SIZE (GraphPartition.cpp:255-273)
+            "levels": leaf_i(4),              # ≤4 coarse levels (MASPreconditioner.hpp:10-12)
             "lazy_partitioning": {"type": "bool", "default": True},
             "use_preconditioned_residual_norm": {"type": "bool", "default": False},
         }
@@ -98,8 +99,9 @@ class MASSolver(KrylovSolver):
         bd = int(self.params.get("block_dim", 1))
         self.A_dev = ops.to_device_matrix(self.A_host, block_size=bd)
         self.pstate = preconditioners.make(
-            "BlockJacobi", self.A_host, self.A_dev,
-            params={"bank_size": int(self.params.get("bank_size", 32))},
+            "MAS", self.A_host, self.A_dev,
+            params={"bank_size": int(self.params.get("bank_size", 32)),
+                    "levels": int(self.params.get("levels", 4))},
             block_size=bd, logger=self.logger,
         )
 

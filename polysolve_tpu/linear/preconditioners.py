@@ -111,6 +111,30 @@ class BlockJacobiP:
     n: int = struct.field(pytree_node=False)
 
 
+@struct.dataclass
+class SchwarzLevel:
+    """One additive level: banked batched dense inverses at this level's
+    resolution. Vector layout is node-major with ``b`` components per node;
+    banks are ``group`` consecutive nodes (node count padded to nb·group)."""
+
+    inv_blocks: jnp.ndarray   # (nb, s, s), s = group·b
+    n: int = struct.field(pytree_node=False)       # true dof count
+    b: int = struct.field(pytree_node=False)       # components per node
+    group: int = struct.field(pytree_node=False)   # nodes per bank
+
+
+@struct.dataclass
+class MASP:
+    """Multilevel additive Schwarz (reference MASPreconditioner.cu: ≤4 coarse
+    levels of warp-local components, batched Gauss-Jordan inverses, additive
+    combine — :376-481, :593-777). Level 0 = banked block-Jacobi; each coarse
+    level restricts per-component over banks (piecewise-constant P), inverts
+    its Galerkin bank blocks; corrections from all levels are summed:
+    z = Σ_l P₀…ₗ · D_l⁻¹ · R_l…₀ · r."""
+
+    levels: Tuple[SchwarzLevel, ...]
+
+
 def apply(state, r: jnp.ndarray) -> jnp.ndarray:
     """Apply M⁻¹ to r. Trace-time dispatch on the state type."""
     from polysolve_tpu.linear import amg as amg_mod
@@ -123,6 +147,8 @@ def apply(state, r: jnp.ndarray) -> jnp.ndarray:
         return _chebyshev_apply(state, r)
     if isinstance(state, BlockJacobiP):
         return _block_jacobi_apply(state, r)
+    if isinstance(state, MASP):
+        return _mas_apply(state, r)
     if isinstance(state, amg_mod.AMGState):
         return amg_mod.cycle(state, r)
     raise TypeError(f"unknown preconditioner state {type(state)}")
@@ -226,6 +252,81 @@ def _block_jacobi(A_host, A_dev, params, block_size=1, **kw):
     dtype = A_dev.dtype if A_dev is not None else default_dtype()
     inv = jnp.linalg.inv(jnp.asarray(blocks, dtype=dtype))
     return BlockJacobiP(inv_blocks=inv, n=n)
+
+
+# --------------------------------------------------------------------------- #
+# Multilevel additive Schwarz (MAS)                                           #
+# --------------------------------------------------------------------------- #
+
+
+def _bank_apply(lev: SchwarzLevel, r: jnp.ndarray) -> jnp.ndarray:
+    """Batched bank-inverse apply at one level (crop/pad to nb·s)."""
+    nb, s = lev.inv_blocks.shape[0], lev.inv_blocks.shape[1]
+    rp = jnp.concatenate([r, jnp.zeros(nb * s - lev.n, dtype=r.dtype)])
+    z = jnp.einsum("bij,bj->bi", lev.inv_blocks, rp.reshape(nb, s))
+    return z.reshape(-1)[: lev.n]
+
+
+def _restrict(lev: SchwarzLevel, r: jnp.ndarray) -> jnp.ndarray:
+    """Per-component bank sum: (nodes, b) → (nb, b) flattened."""
+    nb = lev.inv_blocks.shape[0]
+    g, b = lev.group, lev.b
+    rp = jnp.concatenate([r, jnp.zeros(nb * g * b - lev.n, dtype=r.dtype)])
+    return rp.reshape(nb, g, b).sum(axis=1).reshape(-1)
+
+
+def _prolong(lev: SchwarzLevel, zc: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of _restrict: coarse (nb, b) broadcast over each bank's nodes."""
+    nb = lev.inv_blocks.shape[0]
+    g, b = lev.group, lev.b
+    z = jnp.broadcast_to(zc.reshape(nb, 1, b), (nb, g, b)).reshape(-1)
+    return z[: lev.n]
+
+
+def _mas_apply(state: MASP, r: jnp.ndarray) -> jnp.ndarray:
+    # restrict down, solve every level (additive — no residual updates,
+    # reference MASPreconditioner.cu:593-659)
+    residuals = [r]
+    for lev in state.levels[:-1]:
+        residuals.append(_restrict(lev, residuals[-1]))
+    z = _bank_apply(state.levels[-1], residuals[-1])
+    for i in range(len(state.levels) - 2, -1, -1):
+        z = _bank_apply(state.levels[i], residuals[i]) + _prolong(state.levels[i], z)
+    return z
+
+
+@register("MAS")
+def _mas_precond(A_host, A_dev, params, block_size=1, **kw):
+    """Build the ≤``levels``-level additive Schwarz hierarchy on host:
+    per-level Galerkin bank matrices (scipy), batched inverses on device."""
+    b = max(int(block_size), 1)
+    bank_nodes = int(params.get("bank_size", 32))
+    max_levels = int(params.get("levels", 4))  # MASPreconditioner.hpp:10-12
+    dtype = A_dev.dtype if A_dev is not None else default_dtype()
+
+    levels = []
+    A_l = sp.csr_matrix(A_host)
+    for l in range(max_levels):
+        n_l = A_l.shape[0]
+        nodes = -(-n_l // b)
+        nb = -(-nodes // bank_nodes)
+        s = bank_nodes * b
+        blocks = np.zeros((nb, s, s))
+        for i in range(nb):
+            lo, hi = i * s, min((i + 1) * s, n_l)
+            blocks[i, : hi - lo, : hi - lo] = A_l[lo:hi, lo:hi].toarray()
+            for j in range(hi - lo, s):
+                blocks[i, j, j] = 1.0
+        inv = jnp.linalg.inv(jnp.asarray(blocks, dtype=dtype))
+        levels.append(SchwarzLevel(inv_blocks=inv, n=n_l, b=b, group=bank_nodes))
+        if nb <= 1 or l == max_levels - 1:
+            break
+        # Galerkin restriction: coarse dof (bank, comp) = Σ over bank nodes
+        rows = (np.arange(n_l) // (bank_nodes * b)) * b + (np.arange(n_l) % b)
+        R = sp.csr_matrix((np.ones(n_l), (rows, np.arange(n_l))),
+                          shape=(nb * b, n_l))
+        A_l = sp.csr_matrix(R @ A_l @ R.T)
+    return MASP(levels=tuple(levels))
 
 
 @register("AMG")
