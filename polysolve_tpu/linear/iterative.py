@@ -51,7 +51,15 @@ def _run_krylov(driver: str, A_dev, pstate, b, x0, tol, max_iter, atol=0.0,
 
 class KrylovSolver(Solver):
     """Common machinery: ``factorize`` builds the device matrix + the
-    preconditioner; ``solve`` runs the jitted driver with the initial guess."""
+    preconditioner; ``solve`` runs the jitted driver with the initial guess.
+
+    Multi-chip: set ``params["mesh_devices"] = N`` (or pass a Mesh via
+    ``set_mesh``) and the device matrix + vectors are laid out with
+    ``NamedSharding(P("rows"))`` — GSPMD partitions the jitted driver and
+    inserts the collectives (psum for dots, all-gather/ppermute for the
+    gather) automatically. The explicit-``shard_map`` fast path lives in
+    ``parallel/distributed.py``; this annotation route covers every format
+    and solver with zero extra code (the scaling-book recipe)."""
 
     driver = "CG"
     default_max_iter = 1000
@@ -65,7 +73,9 @@ class KrylovSolver(Solver):
         tree = {
             "max_iter": leaf_i(cls.default_max_iter),
             "tolerance": leaf_f(cls.default_tolerance),
+            "abs_tolerance": leaf_f(0.0),
             "restart": leaf_i(30),
+            "mesh_devices": leaf_i(0),  # >0: row-shard over an N-device mesh
             # nested preconditioner parameter blocks
             "Chebyshev": {
                 "degree": leaf_i(8),
@@ -85,10 +95,42 @@ class KrylovSolver(Solver):
         self.A_host: Optional[sp.csr_matrix] = None
         self.A_dev = None
         self.pstate = None
+        self.mesh = None
         self._iters = 0
         self._error = 0.0
 
     # ------------------------------------------------------------------ #
+
+    def set_mesh(self, mesh) -> None:
+        """Run solves row-sharded over this 1-D mesh (GSPMD)."""
+        self.mesh = mesh
+
+    def _maybe_mesh(self):
+        if self.mesh is None and self.params.get("mesh_devices"):
+            from polysolve_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(int(self.params["mesh_devices"]))
+        return self.mesh
+
+    def _shard_rows(self, tree):
+        """Shard every array leaf over the mesh rows axis (first dim)."""
+        mesh = self._maybe_mesh()
+        if mesh is None:
+            return tree
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        nrows = mesh.devices.size
+
+        def put(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+                    leaf.shape[0] % nrows == 0:
+                spec = P(axis, *([None] * (leaf.ndim - 1)))
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+            return leaf
+
+        return jax.tree_util.tree_map(put, tree)
 
     def analyze_pattern(self, A: sp.spmatrix, precond_num: int = 0) -> None:
         self.precond_num = precond_num
@@ -96,15 +138,15 @@ class KrylovSolver(Solver):
     def factorize(self, A: sp.spmatrix) -> None:
         self.A_host = sp.csr_matrix(A)
         pname = self.forced_precond or self.precond_name
-        self.A_dev = ops.to_device_matrix(
+        self.A_dev = self._shard_rows(ops.to_device_matrix(
             self.A_host, block_size=self.block_size if pname != "AMG" else 1
-        )
-        self.pstate = preconditioners.make(
+        ))
+        self.pstate = self._shard_rows(preconditioners.make(
             pname, self.A_host, self.A_dev,
             params=self._precond_params(pname),
             block_size=self.block_size, nullspace=self.nullspace,
             logger=self.logger,
-        )
+        ))
 
     def _precond_params(self, pname: str) -> Dict[str, Any]:
         sub = self.params.get(pname, {})
@@ -126,21 +168,83 @@ class KrylovSolver(Solver):
         B = b.reshape(b.shape[0], -1)
         X0 = (np.zeros_like(B) if x is None
               else np.asarray(x, dtype=np.float64).reshape(B.shape))
+        refine = self._use_df64_refinement(dtype)
         cols, iters_total, err_max = [], 0, 0.0
         for j in range(B.shape[1]):
-            res = _run_krylov(
-                self.driver, self.A_dev, self.pstate,
-                jnp.asarray(B[:, j], dtype=dtype), jnp.asarray(X0[:, j], dtype=dtype),
-                jnp.asarray(self._tol(), dtype=dtype), jnp.int32(self._max_iter()),
-                atol=jnp.asarray(self._atol(), dtype=dtype),
-                restart=int(self.params.get("restart", 30)),
-            )
-            cols.append(np.asarray(res.x, dtype=np.float64))
-            iters_total = max(iters_total, int(res.iterations))
-            err_max = max(err_max, float(res.error))
+            if refine:
+                xj, it, err = self._solve_refined(B[:, j], X0[:, j], dtype)
+            else:
+                res = _run_krylov(
+                    self.driver, self.A_dev, self.pstate,
+                    self._shard_rows(jnp.asarray(B[:, j], dtype=dtype)),
+                    self._shard_rows(jnp.asarray(X0[:, j], dtype=dtype)),
+                    jnp.asarray(self._tol(), dtype=dtype),
+                    jnp.int32(self._max_iter()),
+                    atol=jnp.asarray(self._atol(), dtype=dtype),
+                    restart=int(self.params.get("restart", 30)),
+                )
+                xj, it, err = (np.asarray(res.x, dtype=np.float64),
+                               int(res.iterations), float(res.error))
+            cols.append(xj)
+            iters_total = max(iters_total, it)
+            err_max = max(err_max, err)
         self._iters, self._error = iters_total, err_max
         out = np.stack(cols, axis=1)
         return out[:, 0] if squeeze else out
+
+    # -- mixed-precision iterative refinement (fp32 hot loop + df64 residual,
+    #    SURVEY.md §7 hard-part #4; the TPU answer to the reference's
+    #    double-precision tolerances) ------------------------------------- #
+
+    def _use_df64_refinement(self, dtype) -> bool:
+        mode = self.params.get("refine_df64", "auto")
+        if mode in (True, "on"):
+            return True
+        if mode in (False, "off"):
+            return False
+        # auto: fp32 device math but a tolerance fp32 cannot reach
+        from polysolve_tpu.types import ELLMatrix, DIAMatrix
+
+        return (dtype == jnp.float32 and self._tol() < 1e-6
+                and isinstance(self.A_dev, (ELLMatrix, DIAMatrix)))
+
+    def _solve_refined(self, b64, x064, dtype):
+        from polysolve_tpu.ops import df64 as df
+        from polysolve_tpu.types import ELLMatrix, DIAMatrix
+
+        tol = self._tol()
+        inner_tol = max(1e-6, tol)  # what fp32 can deliver per sweep
+        max_outer = int(self.params.get("max_refine_iter", 6))
+        b_df = df.from_f64(b64)
+        x64v = x064.astype(np.float64)
+        bnorm = max(np.linalg.norm(b64), 1e-300)
+        total_iters = 0
+        err = np.inf
+        for _ in range(max_outer):
+            x_df = df.from_f64(x64v)
+            if isinstance(self.A_dev, ELLMatrix):
+                Ax = df.ell_matvec_df(self.A_dev.vals, self.A_dev.cols, x_df)
+            else:
+                Ax = df.dia_matvec_df(self.A_dev.vals, self.A_dev.offsets, x_df)
+            r64 = df.to_f64(df.sub(b_df, Ax))
+            err = float(np.linalg.norm(r64) / bnorm)
+            if err <= tol:
+                break
+            res = _run_krylov(
+                self.driver, self.A_dev, self.pstate,
+                self._shard_rows(jnp.asarray(r64, dtype=dtype)),
+                self._shard_rows(jnp.zeros(len(r64), dtype=dtype)),
+                jnp.asarray(inner_tol, dtype=dtype),
+                jnp.int32(self._max_iter()),
+                atol=jnp.asarray(0.0, dtype=dtype),
+                restart=int(self.params.get("restart", 30)),
+            )
+            d = np.asarray(res.x, dtype=np.float64)
+            if not np.all(np.isfinite(d)):
+                break
+            x64v = x64v + d
+            total_iters += int(res.iterations)
+        return x64v, total_iters, err
 
     def _atol(self) -> float:
         return float(self.params.get("abs_tolerance", 0.0))

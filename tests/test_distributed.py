@@ -57,6 +57,26 @@ def test_warm_start_distributed(system):
     assert k2 <= 1  # warm-start contract survives sharding
 
 
+def test_gspmd_sharded_facade_parity():
+    """Any facade Krylov solver runs row-sharded via mesh_devices (GSPMD
+    annotation route); results match the single-device run exactly."""
+    from polysolve_tpu.linear import Solver
+
+    A = poisson3d(8)  # n = 512, divisible by 8
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(A.shape[0])
+    xs = {}
+    for nd in (0, 8):
+        s = Solver.create({"solver": "CG",
+                           "CG": {"tolerance": 1e-12, "max_iter": 2000,
+                                  "mesh_devices": nd}})
+        s.analyze_pattern(A)
+        s.factorize(A)
+        xs[nd] = s.solve(b)
+        assert np.linalg.norm(A @ xs[nd] - b) < 1e-8
+    assert np.abs(xs[0] - xs[8]).max() < 1e-12
+
+
 def test_non_divisible_rows():
     """Row count not divisible by the device count (identity-padded tail)."""
     A = poisson3d(7)  # n = 343, not divisible by 8
