@@ -1,17 +1,19 @@
-"""Benchmark: SpMV throughput + PCG iteration rate on 3D Poisson.
-
-Prints ONE JSON line:
+"""Benchmark: SpMV throughput on 3D Poisson (7-point, fp32) on the local
+accelerator. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no numbers (BASELINE.md), so the quantitative target
-is the BASELINE.json north star: SpMV ≥ 80% of the HBM roofline in nnz/s per
-chip. ``vs_baseline`` is therefore achieved_roofline_fraction / 0.80 —
-vs_baseline ≥ 1.0 means the north-star target is met.
+The reference publishes no numbers (BASELINE.md); the quantitative target is
+BASELINE.json's north star — SpMV ≥ 80% of the per-chip HBM roofline in
+nnz/s. ``vs_baseline`` = achieved_roofline_fraction / 0.80 (≥ 1.0 ⇒ target
+met).
 
-Roofline model (DIA format, fp32): per SpMV the chip must move
-  vals: 4 B/nnz  +  x: 4·n·K/(n·K) = 4 B/nnz (each x element read once per
-  diagonal)  +  y write: 4·n B total
-→ bytes/nnz ≈ 8 + 4/K. v5e-class HBM ≈ 819 GB/s.
+Method: the production Pallas DIA kernel (ops/spmv.py), 100 matvecs chained
+inside one jitted fori_loop with a scalar readback (host-side timers on the
+axon tunnel do not observe async device work — chained timing is the honest
+method; see experiments/spmv_*.py).
+
+Roofline model per matvec (diag-major DIA, fp32): vals n·K·4 B, x read
+(n + tiles·halo)·4 B (halo windows overlap), y write n·4 B.
 """
 
 from __future__ import annotations
@@ -21,9 +23,10 @@ import time
 
 import numpy as np
 
-
-HBM_GBPS = 819.0  # v5e HBM bandwidth (per chip)
+HBM_GBPS = 819.0  # v5e per-chip HBM bandwidth
 TARGET_FRACTION = 0.80  # BASELINE.json north star
+M = 192  # grid: n = 7.08M rows, 49.3M nnz
+K_CHAIN = 100
 
 
 def poisson3d(m):
@@ -39,53 +42,71 @@ def poisson3d(m):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
-    from polysolve_tpu.types import dia_from_scipy, dia_matvec
+    from polysolve_tpu.ops import spmv as spmv_mod
+    from polysolve_tpu.types import DIAMatrix, dia_from_scipy
 
-    m = 192  # n = 7.08M rows, 49.4M nnz (7-point stencil)
-    A = poisson3d(m)
+    A = poisson3d(M)
     n = A.shape[0]
     Ad = dia_from_scipy(A, dtype=jnp.float32)
     K = len(Ad.offsets)
     nnz = Ad.nnz
+    L = max(0, -min(Ad.offsets))
+    R = max(0, max(Ad.offsets))
+
+    on_tpu = jax.default_backend() == "tpu"
+    tile = spmv_mod._pick_tile(n, K, L + R) if on_tpu else 0
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n),
                     dtype=jnp.float32)
 
-    mv = jax.jit(lambda vals, v: dia_matvec(
-        type(Ad)(vals=vals, offsets=Ad.offsets, shape=Ad.shape, nnz=Ad.nnz), v))
+    def one_mv(vals, v):
+        Adev = DIAMatrix(vals=vals, offsets=Ad.offsets, shape=Ad.shape, nnz=nnz)
+        return spmv_mod.matvec(Adev, v)
 
-    # warm up (compile)
-    y = mv(Ad.vals, x)
-    jax.block_until_ready(y)
+    @jax.jit
+    def chain(vals, v):
+        def body(i, v):
+            return one_mv(vals, v) / 6.0
 
-    # timed: chain matvecs to avoid host round-trips
-    reps = 50
+        v = jax.lax.fori_loop(0, K_CHAIN, body, v)
+        return jnp.vdot(v[:128], v[:128])
+
     t0 = time.perf_counter()
-    v = x
-    for _ in range(reps):
-        v = mv(Ad.vals, v)
-    jax.block_until_ready(v)
-    dt = time.perf_counter() - t0
+    s = float(chain(Ad.vals, x))
+    compile_s = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = float(chain(Ad.vals, x))
+        best = min(best, time.perf_counter() - t0)
 
-    nnz_per_s = nnz * reps / dt
-    bytes_per_nnz = 8.0 + 4.0 / K
-    roofline_nnz_per_s = HBM_GBPS * 1e9 / bytes_per_nnz
+    nnz_per_s = nnz * K_CHAIN / best
+    n_tiles = (n // tile) if tile else 1
+    bytes_per_mv = 4.0 * (n * K + n + n_tiles * (L + R) + n)
+    roofline_nnz_per_s = HBM_GBPS * 1e9 * nnz / bytes_per_mv
     fraction = nnz_per_s / roofline_nnz_per_s
 
     print(json.dumps({
         "metric": "spmv_poisson3d_7pt_fp32",
-        "value": round(nnz_per_s / 1e9, 3),
+        "value": round(nnz_per_s / 1e9, 2),
         "unit": "Gnnz/s",
         "vs_baseline": round(fraction / TARGET_FRACTION, 3),
         "detail": {
             "n": n,
             "nnz": nnz,
-            "diagonals": K,
             "roofline_Gnnz_per_s": round(roofline_nnz_per_s / 1e9, 1),
             "roofline_fraction": round(fraction, 3),
-            "platform": jax.devices()[0].platform,
+            "kernel": "pallas_dia" if (on_tpu and tile) else "xla_fused_dia",
+            "tile": tile,
+            "compile_s": round(compile_s, 1),
+            "run_ms_100mv": round(best * 1e3, 1),
+            "platform": jax.default_backend(),
         },
     }))
 

@@ -113,12 +113,15 @@ class KrylovSolver(Solver):
         return self.mesh
 
     def _shard_rows(self, tree):
-        """Shard every array leaf over the mesh rows axis (first dim)."""
+        """Shard every array leaf over the mesh rows axis (first dim; DIA
+        values are diag-major (K, n) and shard on their second dim)."""
         mesh = self._maybe_mesh()
         if mesh is None:
             return tree
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from polysolve_tpu.types import DIAMatrix
 
         axis = mesh.axis_names[0]
         nrows = mesh.devices.size
@@ -130,6 +133,9 @@ class KrylovSolver(Solver):
                 return jax.device_put(leaf, NamedSharding(mesh, spec))
             return leaf
 
+        if isinstance(tree, DIAMatrix) and tree.vals.shape[1] % nrows == 0:
+            vals = jax.device_put(tree.vals, NamedSharding(mesh, P(None, axis)))
+            return tree.replace(vals=vals)
         return jax.tree_util.tree_map(put, tree)
 
     def analyze_pattern(self, A: sp.spmatrix, precond_num: int = 0) -> None:

@@ -147,7 +147,11 @@ class Solver:
         characteristic_length: float = 1.0,
         logger: Optional[logging.Logger] = None,
         strict: bool = True,
+        norm_type=None,
     ) -> "Solver":
+        """Factory (reference Solver.hpp:37-43: create(solver_params,
+        linear_solver_params, characteristic_length, logger, strict,
+        norm_type))."""
         logger = logger or default_logger
         params = spec_mod.validate_and_inject(
             solver_params or {}, build_nonlinear_spec_rules(), strict=strict,
@@ -196,8 +200,10 @@ class Solver:
                 strategies.append(make(name))
 
         line_search = create_line_search(params.get("line_search", {}), logger)
-        return cls(strategies, line_search, params,
-                   characteristic_length=characteristic_length, logger=logger)
+        solver = cls(strategies, line_search, params,
+                     characteristic_length=characteristic_length, logger=logger)
+        solver.norm_type = norm_type
+        return solver
 
     # ------------------------------------------------------------------ #
 
@@ -302,8 +308,12 @@ class Solver:
     # the big loop (reference Solver.cpp:254-553; SURVEY.md §3.3)        #
     # ------------------------------------------------------------------ #
 
+    norm_type = None  # optional NormType override applied to the problem
+
     def minimize(self, problem: Problem, x: np.ndarray) -> np.ndarray:
         x = np.array(x, dtype=np.float64)
+        if self.norm_type is not None:
+            problem.norm_type = self.norm_type
         t_start = time.perf_counter()
         self._reset_stop_criteria()
         self._reset(len(x))

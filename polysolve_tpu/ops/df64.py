@@ -185,8 +185,8 @@ def _rowsum_error(p: jnp.ndarray) -> jnp.ndarray:
 
 
 def dia_matvec_df(vals_hi, offsets, x: DF) -> DF:
-    """DIA SpMV in df64 (vals fp32, x df64)."""
-    n = vals_hi.shape[0]
+    """DIA SpMV in df64 (vals fp32 diag-major (K, n), x df64)."""
+    n = vals_hi.shape[1]
     L = max(0, -min(offsets))
     R = max(0, max(offsets))
     xh = jnp.pad(x.hi, (L, R))
@@ -195,7 +195,7 @@ def dia_matvec_df(vals_hi, offsets, x: DF) -> DF:
     for k, off in enumerate(offsets):
         sh = jax.lax.slice_in_dim(xh, L + off, L + off + n)
         sl = jax.lax.slice_in_dim(xl, L + off, L + off + n)
-        p, e = two_prod(vals_hi[:, k], sh)
-        e = e + vals_hi[:, k] * sl
+        p, e = two_prod(vals_hi[k], sh)
+        e = e + vals_hi[k] * sl
         acc = add(acc, DF(p, e))
     return acc

@@ -45,6 +45,8 @@ DeviceMatrix = Union[ELLMatrix, BlockELLMatrix, DIAMatrix]
 
 
 def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(A, DIAMatrix) and use_pallas_dia():
+        return pallas_dia_matvec(A, x)
     return A.matvec(x)
 
 
@@ -94,22 +96,45 @@ def to_device_matrix(
 # --------------------------------------------------------------------------- #
 
 
-def pallas_dia_matvec(A: DIAMatrix, x: jnp.ndarray, tile: int = 1024) -> jnp.ndarray:
-    """Pallas row-tiled DIA SpMV with per-tile overlapping x windows (explicit
-    HBM→VMEM DMA, since plain blocked BlockSpecs cannot express overlap).
-    Requires n % tile == 0 — callers fall back to the fused-XLA jnp path
-    otherwise. Kept as an explicit kernel to benchmark against XLA's fusion."""
+_VMEM_BUDGET = 12 * 2**20  # leave headroom below the ~16MB/core VMEM
+
+
+def _pick_tile(n: int, K: int, halo: int, itemsize: int = 4) -> int:
+    """Largest power-of-two tile dividing n whose working set
+    (vals K·T + window T+halo + out T) fits the VMEM budget. Capped at 2^17:
+    larger 1-D lane extents crash the TPU compiler (measured, see
+    experiments/spmv_pallas3.py)."""
+    tile = 1 << 17
+    while tile >= 512:
+        if n % tile == 0 and (K * tile + (tile + halo) + tile) * itemsize \
+                <= _VMEM_BUDGET:
+            return tile
+        tile >>= 1
+    return 0
+
+
+def pallas_dia_matvec(A: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """Pallas DIA SpMV: grid over row tiles; the vals tile streams through the
+    grid pipeline, each tile's x window (tile + halo) is DMA'd HBM→VMEM once,
+    and the K shifted multiply-adds happen in VMEM — a single pass over
+    memory by construction (measured ~5× the fused-XLA formulation, which
+    materializes every shifted operand; see experiments/spmv_pallas*.py).
+
+    Falls back to the jnp path when no admissible tile exists."""
     n = A.shape[0]
-    if n % tile != 0:
-        return A.matvec(x)
+    L = max(0, -min(A.offsets))
+    R = max(0, max(A.offsets))
+    K = len(A.offsets)
+    tile = _pick_tile(n, K, L + R, jnp.dtype(A.vals.dtype).itemsize)
+    if tile == 0 or L > tile or R > tile:
+        return dia_matvec(A, x)
     return _pallas_dia_overlap(A.vals, x, A.offsets, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "tile"))
 def _pallas_dia_overlap(vals, x, offsets, tile):
-    """DIA SpMV with per-tile overlapping x windows fetched via explicit
-    dynamic slices of the padded vector (Pallas grid over row tiles; x stays
-    in HBM/ANY and each tile DMAs its window)."""
+    """vals in diag-major (K, n) layout — each (K, tile) VMEM block is K
+    sublanes × tile lanes (row-major (tile, K) would pad K to 128 lanes)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -117,19 +142,19 @@ def _pallas_dia_overlap(vals, x, offsets, tile):
     left = max(0, -min(offsets))
     right = max(0, max(offsets))
     xp = jnp.pad(x, (left, right))
-    K = vals.shape[1]
+    K = vals.shape[0]
 
     def kernel(vals_ref, xp_hbm, y_ref, xwin_ref, sem):
         i = pl.program_id(0)
-        start = i * tile
         cp = pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(start, tile + left + right)], xwin_ref, sem
+            xp_hbm.at[pl.ds(i * tile, tile + left + right)], xwin_ref, sem
         )
         cp.start()
         cp.wait()
-        acc = jnp.zeros((tile,), dtype=y_ref.dtype)
-        for k, off in enumerate(offsets):
-            acc = acc + vals_ref[:, k] * xwin_ref[off + left : off + left + tile]
+        acc = vals_ref[0, :] * xwin_ref[left + offsets[0]: left + offsets[0] + tile]
+        for k in range(1, K):
+            acc = acc + vals_ref[k, :] * \
+                xwin_ref[left + offsets[k]: left + offsets[k] + tile]
         y_ref[:] = acc
 
     return pl.pallas_call(
@@ -137,7 +162,7 @@ def _pallas_dia_overlap(vals, x, offsets, tile):
         out_shape=jax.ShapeDtypeStruct((n,), x.dtype),
         grid=(n // tile,),
         in_specs=[
-            pl.BlockSpec((tile, K), lambda i: (i, 0)),
+            pl.BlockSpec((K, tile), lambda i: (0, i)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile,), lambda i: (i,)),
@@ -146,3 +171,9 @@ def _pallas_dia_overlap(vals, x, offsets, tile):
             pltpu.SemaphoreType.DMA,
         ],
     )(vals, xp)
+
+
+def use_pallas_dia() -> bool:
+    """Pallas fast path is on for real TPU backends (interpret-mode tests
+    exercise the kernel on CPU explicitly)."""
+    return jax.default_backend() == "tpu"

@@ -44,7 +44,8 @@ def sharded_dia_matvec(vals_loc: jnp.ndarray, x_loc: jnp.ndarray,
                        n_shards: int = 1) -> jnp.ndarray:
     """Per-shard DIA SpMV with nearest-neighbor halo exchange.
 
-    ``vals_loc`` (r, K) and ``x_loc`` (r,) are this device's row block.
+    ``vals_loc`` (K, r) diag-major and ``x_loc`` (r,) are this device's row
+    block.
     Assumes halo width ≤ r (always true for band ≪ shard size).
     """
     L, R = _halo_widths(offsets)
@@ -58,7 +59,7 @@ def sharded_dia_matvec(vals_loc: jnp.ndarray, x_loc: jnp.ndarray,
         y = jnp.zeros(r, dtype=jnp.result_type(vals_loc.dtype, x_loc.dtype))
         for k, off in enumerate(offsets):
             seg = lax.dynamic_slice_in_dim(xp_full, start + off + L, r)
-            y = y + vals_loc[:, k] * seg
+            y = y + vals_loc[k] * seg
         return y
     parts = []
     if L > 0:
@@ -74,7 +75,7 @@ def sharded_dia_matvec(vals_loc: jnp.ndarray, x_loc: jnp.ndarray,
     xp = jnp.concatenate(parts) if len(parts) > 1 else x_loc
     y = jnp.zeros(r, dtype=jnp.result_type(vals_loc.dtype, x_loc.dtype))
     for k, off in enumerate(offsets):
-        y = y + vals_loc[:, k] * lax.slice_in_dim(xp, L + off, L + off + r)
+        y = y + vals_loc[k] * lax.slice_in_dim(xp, L + off, L + off + r)
     return y
 
 
@@ -145,8 +146,8 @@ class DistributedPoisson:
         self.nnz = Ad.nnz
         self.dtype = dtype
         shard_rows = NamedSharding(self.mesh, P(self.axis))
-        shard_rows2 = NamedSharding(self.mesh, P(self.axis, None))
-        self.vals = jax.device_put(Ad.vals, shard_rows2)
+        shard_vals = NamedSharding(self.mesh, P(None, self.axis))  # (K, n) diag-major
+        self.vals = jax.device_put(Ad.vals, shard_vals)
         d = Ad.diagonal()
         inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
         self.inv_diag = jax.device_put(inv, shard_rows)
@@ -155,7 +156,7 @@ class DistributedPoisson:
         @functools.partial(
             shard_map,
             mesh=self.mesh,
-            in_specs=(P(self.axis, None), P(self.axis), P(self.axis),
+            in_specs=(P(None, self.axis), P(self.axis), P(self.axis),
                       P(self.axis), None, None),
             out_specs=(P(self.axis), P(), P()),
         )
@@ -170,7 +171,7 @@ class DistributedPoisson:
         @functools.partial(
             shard_map,
             mesh=self.mesh,
-            in_specs=(P(self.axis, None), P(self.axis)),
+            in_specs=(P(None, self.axis), P(self.axis)),
             out_specs=P(self.axis),
         )
         def _matvec(vals_loc, x_loc):

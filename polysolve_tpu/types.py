@@ -262,18 +262,22 @@ def bell_from_scipy(A: sp.spmatrix, block_size: int, dtype=None) -> BlockELLMatr
 
 @struct.dataclass
 class DIAMatrix:
-    """Diagonal-storage sparse matrix: ``A[i, i + offsets[k]] = vals[i, k]``.
+    """Diagonal-storage sparse matrix: ``A[i, i + offsets[k]] = vals[k, i]``.
 
     For stencil matrices (3D Poisson: 7 or 27 diagonals) this eliminates the
     gather entirely — SpMV is a sum of statically-shifted elementwise
-    multiply-adds, which XLA fuses into a single streaming pass at HBM
-    roofline. This is the TPU answer to the reference's cuSPARSE CSR SpMV
-    (CuSparseWrapper.hpp:13-60): instead of optimizing irregular access, the
-    format removes the irregularity.
+    multiply-adds. This is the TPU answer to the reference's cuSPARSE CSR
+    SpMV (CuSparseWrapper.hpp:13-60): instead of optimizing irregular access,
+    the format removes the irregularity. The Pallas fast path lives in
+    ``ops.spmv.pallas_dia_matvec``.
+
+    Storage is **diag-major (K, n)**: each diagonal is contiguous, and a
+    VMEM tile (K, T) occupies K·T lanes — the row-major (T, K) layout would
+    pad K up to the 128-lane tile and blow VMEM 128/K-fold.
 
     Fields
     ------
-    vals : (n, K) float — vals[i, k] pairs with column i + offsets[k]
+    vals : (K, n) float — vals[k, i] pairs with column i + offsets[k]
            (out-of-range entries are 0)
     offsets : static tuple of K ints
     shape : static (n, n)
@@ -295,16 +299,16 @@ class DIAMatrix:
     def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
         n = self.shape[0]
         L = max(0, -min(self.offsets))
-        R = max(0, max(self.offsets) + 0)
+        R = max(0, max(self.offsets))
         Xp = jnp.pad(X, ((L, R), (0, 0)))
         y = jnp.zeros_like(X)
         for k, off in enumerate(self.offsets):
-            y = y + self.vals[:, k : k + 1] * jax.lax.slice_in_dim(Xp, L + off, L + off + n)
+            y = y + self.vals[k][:, None] * jax.lax.slice_in_dim(Xp, L + off, L + off + n)
         return y
 
     def diagonal(self) -> jnp.ndarray:
         if 0 in self.offsets:
-            return self.vals[:, self.offsets.index(0)]
+            return self.vals[self.offsets.index(0)]
         return jnp.zeros(self.shape[0], dtype=self.vals.dtype)
 
 
@@ -316,7 +320,7 @@ def dia_matvec(A: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     xp = jnp.pad(x, (L, R))
     y = jnp.zeros(n, dtype=jnp.result_type(A.vals.dtype, x.dtype))
     for k, off in enumerate(A.offsets):
-        y = y + A.vals[:, k] * jax.lax.slice_in_dim(xp, L + off, L + off + n)
+        y = y + A.vals[k] * jax.lax.slice_in_dim(xp, L + off, L + off + n)
     return y
 
 
@@ -332,13 +336,14 @@ def dia_from_scipy(A: sp.spmatrix, dtype=None, max_diags: int = 256) -> DIAMatri
     n = A.shape[0]
     order = np.argsort(Ad.offsets)
     offsets = tuple(int(Ad.offsets[k]) for k in order)
-    # scipy dia stores vals[k, j] for column j; we want row-aligned vals[i, k]
-    vals = np.zeros((n, len(offsets)), dtype=np.float64)
+    # scipy dia stores vals[k, j] indexed by column j; we want row-aligned
+    # vals[k, i] with i the row
+    vals = np.zeros((len(offsets), n), dtype=np.float64)
     for out_k, k in enumerate(order):
         off = int(Ad.offsets[k])
         data = Ad.data[k]  # indexed by column j = i + off
         i0, i1 = max(0, -off), min(n, n - off)
-        vals[i0:i1, out_k] = data[i0 + off : i1 + off]
+        vals[out_k, i0:i1] = data[i0 + off : i1 + off]
     return DIAMatrix(
         vals=jnp.asarray(vals, dtype=dtype),
         offsets=offsets,

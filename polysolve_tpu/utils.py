@@ -95,6 +95,20 @@ def extract_param(key: str, name: str, params: dict) -> Any:
     return params[name]
 
 
+@contextmanager
+def profile_trace(log_dir: str):
+    """Capture a ``jax.profiler`` trace for the enclosed region (the TPU
+    replacement of the reference's SPDLOG_TRACE phase instrumentation —
+    MASSolver.cu:308-373; view with TensorBoard / xprof)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 @dataclass
 class PhaseTimings:
     """Named phase-timer dictionary, the nonlinear solver's six-phase profile
