@@ -143,7 +143,11 @@ class AMGHierarchy:
             if reuse_aggregates is not None and len(levels) < len(reuse_aggregates):
                 agg, n_agg = reuse_aggregates[len(levels)]
             else:
-                agg, n_agg = _aggregate(Al, eps_strong,
+                # eps halves per level (AMGCL's smoothed_aggregation rule):
+                # coarse Galerkin stencils have relatively weaker couplings,
+                # a fixed threshold degenerates to singleton aggregates
+                eps_l = eps_strong * (0.5 ** len(levels))
+                agg, n_agg = _aggregate(Al, eps_l,
                                         block_size if len(levels) == 0 else 1)
             if n_agg >= Al.shape[0]:  # no coarsening progress
                 break
