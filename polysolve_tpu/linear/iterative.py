@@ -49,6 +49,20 @@ def _run_krylov(driver: str, A_dev, pstate, b, x0, tol, max_iter, atol=0.0,
     raise ValueError(driver)
 
 
+@functools.partial(jax.jit, static_argnames=("is_ell",))
+def _df64_residual(is_ell, A_dev, b_hi, b_lo, x_hi, x_lo):
+    """r = b − A·x in df64 as one device program."""
+    from polysolve_tpu.ops import df64 as df
+
+    x_df = df.DF(x_hi, x_lo)
+    if is_ell:
+        Ax = df.ell_matvec_df(A_dev.vals, A_dev.cols, x_df)
+    else:
+        Ax = df.dia_matvec_df(A_dev.vals, A_dev.offsets, x_df)
+    r = df.sub(df.DF(b_hi, b_lo), Ax)
+    return r.hi, r.lo
+
+
 class KrylovSolver(Solver):
     """Common machinery: ``factorize`` builds the device matrix + the
     preconditioner; ``solve`` runs the jitted driver with the initial guess.
@@ -216,7 +230,7 @@ class KrylovSolver(Solver):
 
     def _solve_refined(self, b64, x064, dtype):
         from polysolve_tpu.ops import df64 as df
-        from polysolve_tpu.types import ELLMatrix, DIAMatrix
+        from polysolve_tpu.types import ELLMatrix
 
         tol = self._tol()
         inner_tol = max(1e-6, tol)  # what fp32 can deliver per sweep
@@ -226,13 +240,14 @@ class KrylovSolver(Solver):
         bnorm = max(np.linalg.norm(b64), 1e-300)
         total_iters = 0
         err = np.inf
+        is_ell = isinstance(self.A_dev, ELLMatrix)
         for _ in range(max_outer):
             x_df = df.from_f64(x64v)
-            if isinstance(self.A_dev, ELLMatrix):
-                Ax = df.ell_matvec_df(self.A_dev.vals, self.A_dev.cols, x_df)
-            else:
-                Ax = df.dia_matvec_df(self.A_dev.vals, self.A_dev.offsets, x_df)
-            r64 = df.to_f64(df.sub(b_df, Ax))
+            # one jitted device program per residual (eager df64 ops would be
+            # dozens of separate dispatches — pathological on remote backends)
+            r_hi, r_lo = _df64_residual(is_ell, self.A_dev, b_df.hi, b_df.lo,
+                                        x_df.hi, x_df.lo)
+            r64 = np.asarray(r_hi, np.float64) + np.asarray(r_lo, np.float64)
             err = float(np.linalg.norm(r64) / bnorm)
             if err <= tol:
                 break

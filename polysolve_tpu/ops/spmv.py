@@ -100,14 +100,15 @@ _VMEM_BUDGET = 12 * 2**20  # leave headroom below the ~16MB/core VMEM
 
 
 def _pick_tile(n: int, K: int, halo: int, itemsize: int = 4) -> int:
-    """Largest power-of-two tile dividing n whose working set
-    (vals K·T + window T+halo + out T) fits the VMEM budget. Capped at 2^17:
+    """Largest power-of-two tile dividing n whose working set fits the VMEM
+    budget: the grid pipeline double-buffers the vals block and the output
+    (2·K·T + 2·T), plus the manually-DMA'd window (T+halo). Capped at 2^17:
     larger 1-D lane extents crash the TPU compiler (measured, see
     experiments/spmv_pallas3.py)."""
     tile = 1 << 17
     while tile >= 512:
-        if n % tile == 0 and (K * tile + (tile + halo) + tile) * itemsize \
-                <= _VMEM_BUDGET:
+        if n % tile == 0 and (2 * K * tile + 2 * tile + (tile + halo)) \
+                * itemsize <= _VMEM_BUDGET:
             return tile
         tile >>= 1
     return 0

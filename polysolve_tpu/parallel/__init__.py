@@ -4,6 +4,7 @@ reference's MPI-formality + single-GPU design — SURVEY.md §2.5)."""
 
 from polysolve_tpu.parallel.mesh import make_mesh  # noqa: F401
 from polysolve_tpu.parallel.distributed import (  # noqa: F401
+    DistributedDIA,
     DistributedPoisson,
     dist_cg,
     sharded_dia_matvec,

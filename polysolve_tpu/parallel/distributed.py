@@ -118,8 +118,10 @@ def dist_cg(vals_loc, inv_diag_loc, b_loc, x0_loc, offsets, tol, max_iter,
     return x, k, relres
 
 
-class DistributedPoisson:
-    """Row-sharded DIA system + one-shot jitted distributed PCG.
+class DistributedDIA:
+    """Row-sharded DIA (banded/stencil) system + one-shot jitted distributed
+    PCG. Works for any matrix convertible to DIA after ordering — 3D Poisson
+    is the benchmark instance.
 
     This is the flagship multi-chip path: build once per pattern
     (``analyze``), then ``solve`` runs the entire preconditioned CG as one
@@ -196,3 +198,7 @@ class DistributedPoisson:
                                     jnp.asarray(tol, dtype=self.dtype),
                                     jnp.int32(max_iter))
         return np.asarray(x, dtype=np.float64)[: self.n], int(k), float(res)
+
+
+# Backwards-compatible name (the benchmark instance)
+DistributedPoisson = DistributedDIA

@@ -34,17 +34,72 @@ def test_aggregation_covers_all():
 
 
 def test_galerkin_consistency():
-    """A_coarse == Rᵀ A P for the stored device operators."""
+    """A_coarse == Rᵀ A P for the stored device operators (generic algebraic
+    path — structured transfers are covered by test_structured_*)."""
     A = sp.csr_matrix(poisson2d(24))
-    h = AMGHierarchy.setup(A, {"coarse_enough": 20, "max_levels": 3})
+    h = AMGHierarchy.setup(A, {"coarse_enough": 20, "max_levels": 3,
+                               "structured": False})
     lev = h.state.levels[0]
     P = ell_to_scipy(lev.P)
     R = ell_to_scipy(lev.R)
     assert abs(R - P.T).max() < 1e-12
     if len(h.state.levels) > 1:
-        Ac = ell_to_scipy(h.state.levels[1].A)
+        from polysolve_tpu.types import DIAMatrix
+
+        A1 = h.state.levels[1].A
+        if isinstance(A1, DIAMatrix):
+            import numpy as _np
+
+            Ac = sp.lil_matrix(A1.shape)
+            v = _np.asarray(A1.vals)
+            n1 = A1.shape[0]
+            for k, off in enumerate(A1.offsets):
+                i0, i1 = max(0, -off), min(n1, n1 - off)
+                Ac[_np.arange(i0, i1), _np.arange(i0, i1) + off] = v[k, i0:i1]
+            Ac = sp.csr_matrix(Ac)
+        else:
+            Ac = ell_to_scipy(A1)
         Ac_ref = sp.csr_matrix(R @ A @ P)
         assert abs(Ac - Ac_ref).max() < 1e-10
+
+
+def test_structured_transfers_match_host():
+    """Structured (gather-free) T/Tᵀ match the host tentative prolongator."""
+    import jax.numpy as jnp
+
+    from polysolve_tpu.linear.amg import (_box_aggregate, _detect_grid,
+                                          _t_apply, _tT_apply)
+    from conftest import poisson3d
+
+    A = poisson3d(8)
+    grid = _detect_grid(sp.csr_matrix(A))
+    assert grid == (8, 8, 8)
+    agg = _box_aggregate(grid)
+    n, nc = A.shape[0], 4 ** 3
+    T = sp.csr_matrix((np.full(n, 1 / np.sqrt(8)), (np.arange(n), agg)),
+                      shape=(n, nc))
+    rng = np.random.default_rng(0)
+    zc = rng.standard_normal(nc)
+    assert np.abs(np.asarray(_t_apply(grid, jnp.asarray(zc))) - T @ zc).max() < 1e-12
+    y = rng.standard_normal(n)
+    assert np.abs(np.asarray(_tT_apply(grid, jnp.asarray(y))) - T.T @ y).max() < 1e-12
+
+
+def test_structured_cycle_converges():
+    from conftest import poisson3d
+    import jax.numpy as jnp
+
+    A = sp.csr_matrix(poisson3d(16))
+    h = AMGHierarchy.setup(A, {"coarse_enough": 40, "max_levels": 6})
+    assert all(lev.grid is not None for lev in h.state.levels)  # all structured
+    rng = np.random.default_rng(1)
+    xt = rng.standard_normal(A.shape[0])
+    b = A @ xt
+    x = np.zeros(A.shape[0])
+    for _ in range(6):
+        x = x + np.asarray(cycle(h.state, jnp.asarray(b - A @ x)))
+    factor = (np.linalg.norm(x - xt) / np.linalg.norm(xt)) ** (1 / 6)
+    assert factor < 0.45, factor
 
 
 def test_cycle_reduces_error():
