@@ -189,6 +189,117 @@ int partition_halos(const int64_t* indptr, const int32_t* indices, int64_t n,
 }
 
 // --------------------------------------------------------------------------
+// Minimum-degree fill-reducing ordering (quotient graph with element
+// absorption — the role AMD plays inside the reference's CHOLMOD / Pardiso
+// symbolic phases, cmake/recipes/suitesparse, Pardiso.cpp:203-259).
+// perm_out[k] = variable eliminated at step k. Exact external degrees via a
+// stamp array; lazy heap for min selection. Returns 0 on success.
+// --------------------------------------------------------------------------
+int md_order(const int64_t* indptr, const int32_t* indices, int64_t n,
+             int32_t* perm_out) {
+  std::vector<std::vector<int32_t>> var_adj(n);   // live variable neighbors
+  std::vector<std::vector<int32_t>> var_elems(n); // adjacent elements
+  std::vector<std::vector<int32_t>> elem_verts(n);
+  std::vector<uint8_t> eliminated(n, 0), absorbed(n, 0), in_lp(n, 0);
+  std::vector<int64_t> cur_deg(n);
+  std::vector<int64_t> stamp(n, -1);
+  int64_t stamp_val = 0;
+
+  for (int64_t i = 0; i < n; ++i) {
+    auto& a = var_adj[i];
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int32_t j = indices[p];
+      if (j != i && j >= 0 && j < n) a.push_back(j);
+    }
+    std::sort(a.begin(), a.end());
+    a.erase(std::unique(a.begin(), a.end()), a.end());
+    cur_deg[i] = static_cast<int64_t>(a.size());
+  }
+
+  using HeapEntry = std::pair<int64_t, int32_t>;
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>,
+                      std::greater<HeapEntry>> heap;
+  for (int64_t i = 0; i < n; ++i)
+    heap.emplace(cur_deg[i], static_cast<int32_t>(i));
+
+  std::vector<int32_t> Lp;
+  for (int64_t k = 0; k < n; ++k) {
+    int32_t p = -1;
+    while (!heap.empty()) {
+      auto [d, v] = heap.top();
+      if (eliminated[v] || d != cur_deg[v]) { heap.pop(); continue; }
+      p = v;
+      heap.pop();
+      break;
+    }
+    if (p < 0) {  // disconnected leftovers (shouldn't happen)
+      for (int64_t i = 0; i < n; ++i)
+        if (!eliminated[i]) { p = static_cast<int32_t>(i); break; }
+    }
+
+    // Lp = reach(p) = adj vars ∪ verts of adjacent elements, minus p
+    Lp.clear();
+    for (int32_t v : var_adj[p])
+      if (!eliminated[v] && !in_lp[v]) {
+        in_lp[v] = 1;
+        Lp.push_back(v);
+      }
+    for (int32_t e : var_elems[p]) {
+      if (absorbed[e]) continue;
+      for (int32_t v : elem_verts[e])
+        if (!eliminated[v] && !in_lp[v]) {
+          in_lp[v] = 1;
+          Lp.push_back(v);
+        }
+      absorbed[e] = 1;          // e's clique is covered by the new element p
+      elem_verts[e].clear();
+      elem_verts[e].shrink_to_fit();
+    }
+
+    perm_out[k] = p;
+    eliminated[p] = 1;
+    elem_verts[p] = Lp;         // p becomes an element with vertex set Lp
+    var_adj[p].clear();
+    var_adj[p].shrink_to_fit();
+    var_elems[p].clear();
+    var_elems[p].shrink_to_fit();
+
+    // update every variable in Lp (in_lp[] marks Lp membership)
+    for (int32_t i : Lp) {
+      // prune var_adj[i]: drop eliminated vars and vars covered by element p
+      auto& a = var_adj[i];
+      size_t w = 0;
+      for (int32_t v : a)
+        if (!eliminated[v] && !in_lp[v]) a[w++] = v;
+      a.resize(w);
+      // prune absorbed elements, then attach p
+      auto& es = var_elems[i];
+      w = 0;
+      for (int32_t e : es)
+        if (!absorbed[e]) es[w++] = e;
+      es.resize(w);
+      es.push_back(p);
+      // exact external degree via a fresh stamp
+      ++stamp_val;
+      stamp[i] = stamp_val;
+      int64_t deg = 0;
+      for (int32_t v : a)
+        if (stamp[v] != stamp_val) { stamp[v] = stamp_val; ++deg; }
+      for (int32_t e : es)
+        for (int32_t v : elem_verts[e])
+          if (!eliminated[v] && stamp[v] != stamp_val) {
+            stamp[v] = stamp_val;
+            ++deg;
+          }
+      cur_deg[i] = deg;
+      heap.emplace(deg, i);
+    }
+    for (int32_t i : Lp) in_lp[i] = 0;
+  }
+  return 0;
+}
+
+// --------------------------------------------------------------------------
 // Bandwidth of a CSR pattern (symbolic phase helper).
 // --------------------------------------------------------------------------
 int64_t csr_bandwidth(const int64_t* indptr, const int32_t* indices,

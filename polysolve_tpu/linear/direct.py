@@ -117,12 +117,25 @@ def _block_tridiag_solve(L_diag, L_sub, B):
     ],
 )
 class SparseCholeskySolver(Solver):
-    """Banded/block-tridiagonal sparse Cholesky (SPD). Covers every SPD
-    direct backend of the reference (the Pardiso mtype=2 path required by
-    BASELINE.md)."""
+    """Sparse direct Cholesky (SPD). Covers every SPD direct backend of the
+    reference (the Pardiso mtype=2 path required by BASELINE.md).
 
-    # band wider than this fraction of n → dense fallback
-    dense_band_fraction = 0.45
+    Mode auto-selection in ``analyze_pattern``:
+
+    - ``band``       — RCM gives a narrow band → block-tridiagonal Cholesky
+      (one ``lax.scan`` of m×m POTRF/TRSM/GEMM; zero index tables);
+    - ``supernodal`` — general patterns → minimum-degree + postordered
+      blocked right-looking factorization (linear/supernodal.py — the
+      CHOLMOD-supernodal role);
+    - ``dense``      — tiny systems.
+
+    On fp32 devices (TPU), ``solve`` applies iterative refinement with a
+    float64 host residual by default, recovering reference-grade (1e-8…1e-14)
+    residuals from an fp32 factorization (SURVEY.md §7 hard-part #4).
+    """
+
+    # band wider than this → prefer the supernodal path
+    band_max_block = 192
     min_dense_n = 256
 
     @classmethod
@@ -130,33 +143,48 @@ class SparseCholeskySolver(Solver):
         return {
             "block_multiple": {"type": "int", "default": 8},
             "mtype": {"type": "int", "default": 2},  # accepted for Pardiso parity
+            "mode": {"type": "string", "default": "auto"},
+            "tile": {"type": "int", "default": 32},  # supernodal tile size
+            "max_refine_iter": {"type": "int", "default": 4},
         }
 
     def __init__(self):
         super().__init__()
         self.perm: Optional[np.ndarray] = None
-        self.m: int = 0          # block size
-        self.nb: int = 0         # number of blocks
+        self.m: int = 0          # band block size
+        self.nb: int = 0         # number of band blocks
         self.n: int = 0
-        self.dense: bool = False
-        self.L = None            # dense fallback factor or (L_diag, L_sub)
+        self.mode: str = "auto"
+        self.L = None            # dense factor or (L_diag, L_sub)
+        self.snl = None          # SupernodalCholesky
+        self.A_host: Optional[sp.csr_matrix] = None
         self._pattern_nnz = -1
 
     def analyze_pattern(self, A: sp.spmatrix, precond_num: int = 0) -> None:
         A = sp.csr_matrix(A)
         self.n = A.shape[0]
+        self._pattern_nnz = A.nnz
+        requested = str(self.params.get("mode", "auto"))
         self.perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
         Ap = A[self.perm][:, self.perm].tocoo()
         bw = int(np.abs(Ap.row - Ap.col).max(initial=0))
         mult = int(self.params.get("block_multiple", 8))
         self.m = max(_round_up(max(bw, 1), mult), mult)
-        self.dense = (self.n <= self.min_dense_n
-                      or self.m > self.dense_band_fraction * self.n)
-        if self.dense:
-            self.nb = 1
+        if requested != "auto":
+            self.mode = requested
+        elif self.n <= self.min_dense_n:
+            self.mode = "dense"
+        elif self.m <= self.band_max_block:
+            self.mode = "band"
         else:
+            self.mode = "supernodal"
+        if self.mode == "band":
             self.nb = _round_up(self.n, self.m) // self.m
-        self._pattern_nnz = A.nnz
+        elif self.mode == "supernodal":
+            from polysolve_tpu.linear.supernodal import SupernodalCholesky
+
+            self.snl = SupernodalCholesky(tile=int(self.params.get("tile", 32)))
+            self.snl.analyze(A)
 
     def factorize(self, A) -> None:
         if sp.issparse(A):
@@ -165,9 +193,14 @@ class SparseCholeskySolver(Solver):
             A = sp.csr_matrix(np.asarray(A))
         if self.perm is None or A.shape[0] != self.n:
             self.analyze_pattern(A)
+        self.A_host = A
         dtype = default_dtype()
+        if self.mode == "supernodal":
+            self.snl.factorize(A)  # raises on numerical issue
+            self.L = "supernodal"
+            return
         Ap = A[self.perm][:, self.perm]
-        if self.dense:
+        if self.mode == "dense":
             Ad = jnp.asarray(Ap.toarray(), dtype=dtype)
             self.L = jnp.linalg.cholesky(Ad)
             ok = bool(jnp.all(jnp.isfinite(self.L)))
@@ -206,17 +239,15 @@ class SparseCholeskySolver(Solver):
             # (EigenSolver.tpp:44-52) / Pardiso error codes (Pardiso.cpp:249-252)
             raise RuntimeError(f"{self.name()}: numerical issue (matrix not SPD?)")
 
-    def solve(self, b: np.ndarray, x: Optional[np.ndarray] = None) -> np.ndarray:
-        if self.L is None:
-            raise RuntimeError("factorize() must be called before solve()")
+    def _solve_once(self, B: np.ndarray) -> np.ndarray:
+        """One factor-solve pass for (n, k) rhs, float64 in/out."""
         dtype = default_dtype()
-        b = np.asarray(b, dtype=np.float64)
-        squeeze = b.ndim == 1
-        B = b.reshape(self.n, -1)
+        if self.mode == "supernodal":
+            return self.snl.solve(B)
         Bp = B[self.perm]
-        if self.dense:
-            y = jax.scipy.linalg.solve_triangular(self.L, jnp.asarray(Bp, dtype=dtype),
-                                                  lower=True)
+        if self.mode == "dense":
+            y = jax.scipy.linalg.solve_triangular(
+                self.L, jnp.asarray(Bp, dtype=dtype), lower=True)
             Xp = jax.scipy.linalg.solve_triangular(self.L.T, y, lower=False)
             Xp = np.asarray(Xp, dtype=np.float64)
         else:
@@ -230,20 +261,43 @@ class SparseCholeskySolver(Solver):
             Xp = np.asarray(X, dtype=np.float64).reshape(n_pad, -1)[: self.n]
         out = np.empty_like(Bp)
         out[self.perm] = Xp
-        return out[:, 0] if squeeze else out
+        return out
+
+    def solve(self, b: np.ndarray, x: Optional[np.ndarray] = None) -> np.ndarray:
+        if self.L is None:
+            raise RuntimeError("factorize() must be called before solve()")
+        b = np.asarray(b, dtype=np.float64)
+        squeeze = b.ndim == 1
+        B = b.reshape(self.n, -1)
+        X = self._solve_once(B)
+        # fp32 factorization → iterative refinement to fp64 accuracy: the
+        # residual is float64 host work (O(nnz)), each correction reuses the
+        # device factor (SURVEY.md §7 hard-part #4)
+        if default_dtype() == jnp.float32:
+            for _ in range(int(self.params.get("max_refine_iter", 4))):
+                R = B - self.A_host @ X
+                if np.linalg.norm(R) <= 1e-14 * max(np.linalg.norm(B), 1e-300):
+                    break
+                X = X + self._solve_once(R)
+        return X[:, 0] if squeeze else X
 
     def get_info(self) -> Dict[str, Any]:
-        return {
+        info = {
             "solver": self.name(),
-            "dense_fallback": self.dense,
+            "mode": self.mode,
             "band_block": self.m,
             "num_blocks": self.nb,
-            "mem_factor_mb": 0.0 if self.L is None else (
-                float(sum(np.asarray(l).nbytes for l in
-                          (self.L if isinstance(self.L, tuple) else (self.L,)))
-                      / 2**20)
-            ),
         }
+        if self.mode == "supernodal" and self.snl is not None and self.snl.sym:
+            s = self.snl.sym
+            info.update(tile=s.m, n_block_cols=s.nb, n_blocks=s.n_blocks,
+                        factor_mem_mb=round(s.mem_blocks_mb, 2),
+                        factor_flops=s.flops)
+        elif self.L is not None and self.mode in ("band", "dense"):
+            info["mem_factor_mb"] = float(
+                sum(np.asarray(l).nbytes for l in
+                    (self.L if isinstance(self.L, tuple) else (self.L,))) / 2**20)
+        return info
 
 
 @register_solver(

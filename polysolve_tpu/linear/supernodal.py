@@ -1,0 +1,405 @@
+"""Supernodal sparse Cholesky, TPU-style (SURVEY.md §7 step 7; the general-
+pattern replacement for the reference's CHOLMOD / Pardiso SPD direct backends
+— reference EigenSolver.tpp:30-60, Pardiso.cpp:203-398).
+
+Classical supernodal codes walk a ragged supernode DAG with per-node dense
+kernels. XLA wants static shapes and the MXU wants uniform tiles, so the
+TPU-native formulation fixes the supernode width to one tile ``m`` and makes
+*every* dense operation the same shape:
+
+- **symbolic** (host, the analog of CHOLMOD's analyze / Pardiso phase 11):
+  minimum-degree fill-reducing ordering (native C++ ``md_order``; the AMD
+  role), scalar elimination-tree postorder (fill-invariant, clusters related
+  columns so fixed-width blocking behaves like supernode amalgamation), then
+  block-fill analysis of the m×m-blocked pattern by column-merge. Output: a
+  flat block layout of L and the per-block-column index tables.
+
+- **numeric** (device, the analog of CHOLMOD's factorize / Pardiso phase 22):
+  ONE jitted ``lax.scan`` over block columns — gather the column's panel,
+  m×m Cholesky (POTRF), batched triangular solve (TRSM), one batched
+  ``einsum`` outer product for the right-looking update (GEMM — the MXU hot
+  loop), scatter-add into the flat block store. All shapes are
+  ``(Wmax, m, m)``: one compiled program regardless of the pattern.
+
+- **solve** (phase 33): two scans (forward/backward block substitution),
+  multi-RHS batched.
+
+By the Cholesky fill path theorem every update target (i,j), i,j ∈ struct(k)
+exists in the symbolic factor, so the scatter tables are complete and static.
+Padded slots point at a dummy trash block — no masking branches in the loop.
+
+``analyze`` is reused across ``factorize`` calls with the same pattern (the
+reference's symbolic/numeric split, pinned by test_linear_solver.cpp:241-307).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from polysolve_tpu.types import default_dtype
+
+
+# --------------------------------------------------------------------------- #
+# Host symbolic phase                                                         #
+# --------------------------------------------------------------------------- #
+
+
+def md_ordering(A: sp.csr_matrix) -> np.ndarray:
+    """Fill-reducing ordering: native minimum-degree, RCM fallback."""
+    from polysolve_tpu import native
+
+    perm = native.md_order(A)
+    if perm is not None:
+        return perm
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True),
+                      dtype=np.int64)
+
+
+def etree(A_lower: sp.csc_matrix) -> np.ndarray:
+    """Elimination tree of a symmetric pattern (Liu's algorithm with path
+    compression). ``A_lower`` is the lower triangle in CSC."""
+    n = A_lower.shape[0]
+    parent = np.full(n, -1, dtype=np.int64)
+    ancestor = np.full(n, -1, dtype=np.int64)
+    indptr, indices = A_lower.indptr, A_lower.indices
+    # iterate columns j; entries i > j in column j mean A[i, j] != 0, i.e.
+    # column i of the CSC upper view... use rows of the lower triangle:
+    # for column j of L, the relevant inputs are nonzeros A[j, i] with i < j —
+    # walk the *rows* of A_lower: row j's entries are exactly {i < j}.
+    A_rows = sp.csr_matrix(A_lower)
+    for j in range(n):
+        for i in A_rows.indices[A_rows.indptr[j]:A_rows.indptr[j + 1]]:
+            if i >= j:
+                continue
+            r = i
+            while ancestor[r] != -1 and ancestor[r] != j:
+                nxt = ancestor[r]
+                ancestor[r] = j
+                r = nxt
+            if ancestor[r] == -1:
+                ancestor[r] = j
+                parent[r] = j
+    return parent
+
+
+def postorder(parent: np.ndarray) -> np.ndarray:
+    """Postorder permutation of the forest (post[k] = old index placed at k).
+    Fill-invariant reordering that clusters each subtree contiguously."""
+    n = len(parent)
+    children = [[] for _ in range(n)]
+    roots = []
+    for v in range(n):
+        if parent[v] < 0:
+            roots.append(v)
+        else:
+            children[parent[v]].append(v)
+    post = np.empty(n, dtype=np.int64)
+    k = 0
+    for root in roots:
+        stack = [(root, 0)]
+        while stack:
+            v, ci = stack.pop()
+            if ci < len(children[v]):
+                stack.append((v, ci + 1))
+                stack.append((children[v][ci], 0))
+            else:
+                post[k] = v
+                k += 1
+    assert k == n
+    return post
+
+
+@dataclass
+class BlockSymbolic:
+    """Symbolic factorization of the m×m-blocked permuted pattern."""
+
+    perm: np.ndarray          # (n,) fill-reducing + postordered permutation
+    m: int                    # tile size
+    nb: int                   # number of block columns
+    n: int                    # true dof count (n_pad = nb*m)
+    n_blocks: int             # symbolic blocks of L (lower incl. diagonal)
+    Wmax: int                 # max off-diagonal blocks per block column
+    diag_ids: np.ndarray      # (nb,) int32 — flat id of each diagonal block
+    col_ids: np.ndarray       # (nb, Wmax) int32 — off-diag ids (pad n_blocks)
+    col_rows: np.ndarray      # (nb, Wmax) int32 — block rows (pad nb)
+    upd_ids: np.ndarray       # (nb, Wmax, Wmax) int32 — update targets
+    a_blk: np.ndarray         # A-scatter: flat block id per lower-tri entry
+    a_i: np.ndarray           # local row within block
+    a_j: np.ndarray           # local col within block
+    a_perm_rows: np.ndarray   # permuted (row, col) of each scattered entry —
+    a_perm_cols: np.ndarray   # used to re-extract values on re-factorize
+    flops: float              # dense-op flop count (diagnostics)
+    mem_blocks_mb: float
+
+    @property
+    def n_pad(self) -> int:
+        return self.nb * self.m
+
+
+def analyze(A: sp.spmatrix, m: int = 32,
+            perm: Optional[np.ndarray] = None) -> BlockSymbolic:
+    """Symbolic phase: ordering + postorder + block-fill + index tables."""
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    if perm is None:
+        perm = md_ordering(A)
+        Ap = sp.csr_matrix(A[perm][:, perm])
+        par = etree(sp.csc_matrix(sp.tril(Ap)))
+        post = postorder(par)
+        perm = perm[post]
+    Ap = sp.csr_matrix(A[perm][:, perm])
+
+    nb = -(-n // m)
+    n_pad = nb * m
+
+    # block lower pattern of Ap
+    Alow = sp.coo_matrix(sp.tril(Ap))
+    bi = Alow.row // m
+    bj = Alow.col // m
+    pairs = np.unique(bi * nb + bj)
+    p_bi, p_bj = pairs // nb, pairs % nb
+
+    # block-fill by column merge: cols[j] = set of block rows > j
+    cols = [set() for _ in range(nb)]
+    off = p_bi != p_bj
+    for i, j in zip(p_bi[off], p_bj[off]):
+        cols[j].add(int(i))
+    total_off = 0
+    flops = 0.0
+    for j in range(nb):
+        s = cols[j]
+        w = len(s)
+        total_off += w
+        flops += m ** 3 / 3 + w * m ** 3 + w * w * m ** 3
+        if s:
+            par_b = min(s)
+            cols[par_b] |= s
+            cols[par_b].discard(par_b)
+
+    n_blocks = nb + total_off
+    Wmax = max((len(c) for c in cols), default=0)
+    Wmax = max(Wmax, 1)
+
+    diag_ids = np.empty(nb, dtype=np.int32)
+    col_ids = np.full((nb, Wmax), n_blocks, dtype=np.int32)
+    col_rows = np.full((nb, Wmax), nb, dtype=np.int32)
+    blk_id = {}
+    nid = 0
+    col_sorted = []
+    for j in range(nb):
+        diag_ids[j] = nid
+        blk_id[(j, j)] = nid
+        nid += 1
+        rows = np.sort(np.fromiter(cols[j], dtype=np.int64, count=len(cols[j])))
+        col_sorted.append(rows)
+        for a, i in enumerate(rows):
+            blk_id[(int(i), j)] = nid
+            col_ids[j, a] = nid
+            col_rows[j, a] = i
+            nid += 1
+    assert nid == n_blocks
+
+    # update targets: (rows[a], rows[b]) for rows[a] >= rows[b]; the fill path
+    # theorem guarantees the block exists
+    upd_ids = np.full((nb, Wmax, Wmax), n_blocks, dtype=np.int32)
+    for j in range(nb):
+        rows = col_sorted[j]
+        for a, ia in enumerate(rows):
+            for b, ib in enumerate(rows):
+                if ia >= ib:
+                    upd_ids[j, a, b] = blk_id[(int(ia), int(ib))]
+
+    # A-value scatter map (lower triangle of the permuted matrix). Entries
+    # strictly below the diagonal *within a diagonal block* are mirrored so
+    # diagonal blocks assemble fully symmetric — jnp.linalg.cholesky
+    # symmetrizes its input ((A+Aᵀ)/2), which would otherwise halve them.
+    mask = Alow.row >= Alow.col
+    rr, cc = Alow.row[mask], Alow.col[mask]
+    mirror = ((rr // m) == (cc // m)) & (rr != cc)
+    rr = np.concatenate([rr, cc[mirror]])
+    cc = np.concatenate([cc, Alow.row[mask][mirror]])
+    a_blk = np.array([blk_id[(int(r) // m, int(c) // m)] for r, c in zip(rr, cc)],
+                     dtype=np.int32)
+    a_i = (rr % m).astype(np.int32)
+    a_j = (cc % m).astype(np.int32)
+    # identity padding for the tail rows
+    if n_pad > n:
+        tail = np.arange(n, n_pad)
+        a_blk = np.concatenate([a_blk,
+                                np.full(len(tail), diag_ids[nb - 1], np.int32)])
+        a_i = np.concatenate([a_i, (tail % m).astype(np.int32)])
+        a_j = np.concatenate([a_j, (tail % m).astype(np.int32)])
+        rr = np.concatenate([rr, tail])
+        cc = np.concatenate([cc, tail])
+
+    mem = (n_blocks + 1) * m * m * 8 / 2 ** 20
+    return BlockSymbolic(
+        perm=perm, m=m, nb=nb, n=n, n_blocks=n_blocks, Wmax=Wmax,
+        diag_ids=diag_ids, col_ids=col_ids, col_rows=col_rows,
+        upd_ids=upd_ids, a_blk=a_blk, a_i=a_i, a_j=a_j,
+        a_perm_rows=rr, a_perm_cols=cc, flops=flops, mem_blocks_mb=mem,
+    )
+
+
+def extract_values(sym: BlockSymbolic, A: sp.spmatrix) -> np.ndarray:
+    """Values aligned with the symbolic scatter map (tail padding = 1.0)."""
+    Ap = sp.csr_matrix(A)[sym.perm][:, sym.perm]
+    in_range = sym.a_perm_rows < sym.n
+    out = np.ones(len(sym.a_perm_rows), dtype=np.float64)
+    out[in_range] = np.asarray(
+        Ap[sym.a_perm_rows[in_range], sym.a_perm_cols[in_range]]
+    ).ravel()
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Device numeric phase                                                        #
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "m"),
+                   donate_argnums=())
+def _factor_scan(a_vals, a_blk, a_i, a_j, diag_ids, col_ids, upd_ids,
+                 n_blocks: int, m: int):
+    """Right-looking blocked Cholesky as one scan over block columns."""
+    dtype = a_vals.dtype
+    blocks = jnp.zeros((n_blocks + 1, m, m), dtype=dtype)
+    blocks = blocks.at[a_blk, a_i, a_j].add(a_vals)
+
+    def step(blocks, xs):
+        diag_id, ids, upd = xs
+        Ld = jnp.linalg.cholesky(blocks[diag_id])
+        P = blocks[ids]                                  # (Wmax, m, m)
+        valid = (ids < n_blocks)[:, None, None]
+        # TRSM: L_off = P · Ld^{-T}  ⇔  Ld · Yᵀ = Pᵀ (batched over the panel)
+        Y = jax.scipy.linalg.solve_triangular(
+            jnp.broadcast_to(Ld, P.shape), jnp.swapaxes(P, -1, -2), lower=True)
+        Loff = jnp.where(valid, jnp.swapaxes(Y, -1, -2), 0.0)
+        blocks = blocks.at[diag_id].set(Ld)
+        blocks = blocks.at[ids].set(Loff)
+        # right-looking update: A[ia, ib] -= L_off[a] · L_off[b]ᵀ (MXU GEMMs)
+        U = jnp.einsum("aij,bkj->abik", Loff, Loff,
+                       preferred_element_type=dtype)
+        blocks = blocks.at[upd].add(-U)
+        return blocks, None
+
+    blocks, _ = lax.scan(step, blocks, (diag_ids, col_ids, upd_ids))
+    return blocks
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
+def _solve_scan(blocks, diag_ids, col_ids, col_rows, B,
+                n_blocks: int, m: int):
+    """L Lᵀ X = B with forward/backward block substitution. B: (nb, m, k)."""
+    nb = B.shape[0]
+    nrhs = B.shape[2]
+    ks = jnp.arange(nb, dtype=jnp.int32)
+    y = jnp.concatenate([B, jnp.zeros((1, m, nrhs), dtype=B.dtype)], axis=0)
+
+    def fwd(y, xs):
+        k, diag_id, ids, rows = xs
+        yk = jax.scipy.linalg.solve_triangular(blocks[diag_id], y[k], lower=True)
+        y = y.at[k].set(yk)
+        valid = (ids < n_blocks)[:, None, None]
+        contrib = jnp.einsum("aij,jr->air",
+                             jnp.where(valid, blocks[ids], 0.0), yk)
+        return y.at[rows].add(-contrib), None
+
+    y, _ = lax.scan(fwd, y, (ks, diag_ids, col_ids, col_rows))
+
+    def bwd(x, xs):
+        k, diag_id, ids, rows = xs
+        valid = (ids < n_blocks)[:, None, None]
+        Lo = jnp.where(valid, blocks[ids], 0.0)
+        s = jnp.einsum("aij,air->jr", Lo, x[rows])
+        xk = jax.scipy.linalg.solve_triangular(
+            blocks[diag_id].T, x[k] - s, lower=False)
+        return x.at[k].set(xk), None
+
+    x, _ = lax.scan(bwd, y, (ks, diag_ids, col_ids, col_rows), reverse=True)
+    return x[:nb]
+
+
+# --------------------------------------------------------------------------- #
+# Facade
+# --------------------------------------------------------------------------- #
+
+
+class SupernodalCholesky:
+    """analyze → factorize (many, same pattern) → solve (multi-RHS)."""
+
+    def __init__(self, tile: int = 32):
+        self.tile = int(tile)
+        self.sym: Optional[BlockSymbolic] = None
+        self.blocks = None
+        self._tables = None
+        self._phash: Optional[str] = None
+
+    def analyze(self, A: sp.spmatrix,
+                phash: Optional[str] = None) -> BlockSymbolic:
+        from polysolve_tpu import checkpoint as ckpt
+
+        phash = phash or ckpt.pattern_hash(A)
+        cached = ckpt.default_cache.get(f"snl{self.tile}", phash)
+        if cached is not None:
+            self.sym = cached
+        else:
+            self.sym = analyze(A, m=self.tile)
+            ckpt.default_cache.put(f"snl{self.tile}", phash, self.sym)
+        self._phash = phash
+        s = self.sym
+        self._tables = (
+            jnp.asarray(s.a_blk), jnp.asarray(s.a_i), jnp.asarray(s.a_j),
+            jnp.asarray(s.diag_ids), jnp.asarray(s.col_ids),
+            jnp.asarray(s.upd_ids), jnp.asarray(s.col_rows),
+        )
+        return s
+
+    def factorize(self, A: sp.spmatrix) -> None:
+        from polysolve_tpu import checkpoint as ckpt
+
+        # a changed sparsity pattern silently dropping entries would corrupt
+        # the factorization — re-analyze whenever the pattern digest moves
+        phash = ckpt.pattern_hash(A)
+        if self.sym is None or phash != self._phash:
+            self.analyze(A, phash=phash)
+        s = self.sym
+        vals = extract_values(s, A)
+        a_blk, a_i, a_j, diag_ids, col_ids, upd_ids, _ = self._tables
+        self.blocks = _factor_scan(
+            jnp.asarray(vals, dtype=default_dtype()), a_blk, a_i, a_j,
+            diag_ids, col_ids, upd_ids, n_blocks=s.n_blocks, m=s.m)
+        dcheck = self.blocks[diag_ids]
+        if not bool(jnp.all(jnp.isfinite(dcheck))):
+            raise RuntimeError(
+                "SupernodalCholesky: numerical issue (matrix not SPD?)")
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        if self.blocks is None:
+            raise RuntimeError("factorize() before solve()")
+        s = self.sym
+        b = np.asarray(b, dtype=np.float64)
+        squeeze = b.ndim == 1
+        B = b.reshape(s.n, -1)
+        Bp = np.zeros((s.n_pad, B.shape[1]))
+        Bp[: s.n] = B[s.perm]
+        _, _, _, diag_ids, col_ids, _, col_rows = self._tables
+        X = _solve_scan(
+            self.blocks, diag_ids, col_ids, col_rows,
+            jnp.asarray(Bp.reshape(s.nb, s.m, -1), dtype=default_dtype()),
+            n_blocks=s.n_blocks, m=s.m)
+        Xp = np.asarray(X, dtype=np.float64).reshape(s.n_pad, -1)[: s.n]
+        out = np.empty_like(B)
+        out[s.perm] = Xp
+        return out[:, 0] if squeeze else out

@@ -71,6 +71,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int64, ctypes.c_int64, _i64p, _i64p]
     lib.csr_bandwidth.restype = ctypes.c_int64
     lib.csr_bandwidth.argtypes = [_i64p, _i32p, ctypes.c_int64]
+    lib.md_order.restype = ctypes.c_int
+    lib.md_order.argtypes = [_i64p, _i32p, ctypes.c_int64, _i32p]
     _LIB = lib
     return _LIB
 
@@ -144,6 +146,22 @@ def partition_halos(A, n_shards: int, rows_per: int) -> Optional[Tuple[np.ndarra
     hi = np.empty(n_shards, dtype=np.int64)
     lib.partition_halos(indptr, indices, A.shape[0], n_shards, rows_per, lo, hi)
     return lo, hi
+
+
+def md_order(A) -> Optional[np.ndarray]:
+    """Native minimum-degree fill-reducing ordering (quotient graph with
+    element absorption — the role of AMD in the reference's direct backends).
+    Returns the elimination order (perm[k] = node eliminated at step k), or
+    None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices = _csr_arrays(A)
+    n = A.shape[0]
+    perm = np.empty(n, dtype=np.int32)
+    if lib.md_order(indptr, indices, n, perm) != 0:
+        return None
+    return perm.astype(np.int64)
 
 
 def csr_bandwidth(A) -> Optional[int]:
