@@ -393,4 +393,8 @@ class AMGSolver(KrylovSolver):
             logger=self.logger, reuse_aggregates=reuse,
         )
         self._pattern = pattern
-        self.pstate = self._hier.state
+        # row-shard the whole hierarchy over the mesh when configured: fine
+        # levels partition cleanly; coarse levels whose sizes don't divide the
+        # mesh stay replicated (they're small); GSPMD inserts the collectives
+        self.pstate = self._shard_rows(self._hier.state)
+        self.A_dev = self._shard_rows(self.A_dev)

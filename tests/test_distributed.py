@@ -77,6 +77,28 @@ def test_gspmd_sharded_facade_parity():
     assert np.abs(xs[0] - xs[8]).max() < 1e-12
 
 
+def test_gspmd_sharded_amg_parity():
+    """The AMG-preconditioned CG runs with the whole hierarchy row-sharded
+    over the mesh and matches the single-device solve (the multi-chip analog
+    of the reference's Hypre/AMGCL solves)."""
+    from polysolve_tpu.linear import Solver
+
+    A = poisson3d(8)  # n = 512, divisible by 8
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(A.shape[0])
+    xs = {}
+    for nd in (0, 8):
+        s = Solver.create({"solver": "AMG",
+                           "AMG": {"tolerance": 1e-10, "max_iter": 200,
+                                   "mesh_devices": nd}})
+        s.analyze_pattern(A)
+        s.factorize(A)
+        xs[nd] = s.solve(b)
+        assert np.linalg.norm(A @ xs[nd] - b) < 1e-8 * np.linalg.norm(b)
+        assert s.get_info()["num_iterations"] <= 30
+    assert np.abs(xs[0] - xs[8]).max() < 1e-10
+
+
 def test_non_divisible_rows():
     """Row count not divisible by the device count (identity-padded tail)."""
     A = poisson3d(7)  # n = 343, not divisible by 8

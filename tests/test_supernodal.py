@@ -177,6 +177,74 @@ def test_facade_band_path_still_used_for_narrow_band():
     assert np.linalg.norm(A @ x - b) < 1e-8 * np.linalg.norm(b)
 
 
+# --------------------------------------------------------------------------- #
+# blocked sparse LU (general / unsymmetric)                                    #
+# --------------------------------------------------------------------------- #
+
+
+def convdiff2d(m, c=5.0):
+    """Unsymmetric convection-diffusion (upwind), diagonally dominant."""
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(m, m))
+    I = sp.identity(m)
+    A = sp.kron(I, T) + sp.kron(T, I)
+    C = sp.diags([-c, c], [-1, 0], shape=(m, m))
+    return sp.csr_matrix(A + sp.kron(I, C) * (1.0 / m) + 0.1 * sp.identity(m * m))
+
+
+def test_supernodal_lu_unsymmetric():
+    from polysolve_tpu.linear.supernodal import SupernodalLU
+
+    A = convdiff2d(20)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.shape[0])
+    S = SupernodalLU(tile=8)
+    S.factorize(A)
+    x = S.solve(b)
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-10
+    # refactorize, same pattern
+    S.factorize(sp.csr_matrix(1.7 * A))
+    x2 = S.solve(b)
+    assert np.linalg.norm(1.7 * A @ x2 - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_sparse_lu_facade_supernodal():
+    A = convdiff2d(20)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(A.shape[0])
+    sv = Solver.create("Eigen::SparseLU")
+    sv.analyze_pattern(A)
+    assert sv.mode == "supernodal"
+    sv.factorize(A)
+    x = sv.solve(b)
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-10
+    assert sv.get_info()["mode"] == "supernodal"
+
+
+def test_sparse_lu_zero_diagonal_block_pivoting():
+    """A zero diagonal entry inside a block is handled by within-block
+    partial pivoting (no dense fallback needed)."""
+    A = convdiff2d(16).tolil()
+    A[5, 5] = 0.0
+    A = sp.csr_matrix(A)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(A.shape[0])
+    sv = Solver.create("SparseLU")
+    sv.analyze_pattern(A)
+    sv.factorize(A)
+    x = sv.solve(b)
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-8
+
+
+def test_sparse_lu_dense_for_tiny():
+    A = sp.csr_matrix(np.array([[2.0, 1.0], [3.0, 4.0]]))
+    sv = Solver.create("SparseLU")
+    sv.analyze_pattern(A)
+    assert sv.mode == "dense"
+    sv.factorize(A)
+    x = sv.solve(np.array([1.0, 2.0]))
+    assert np.allclose(A @ x, [1.0, 2.0])
+
+
 def test_facade_mode_override():
     A = sp.csr_matrix(poisson2d(20) + 0.1 * sp.identity(400))
     solver = Solver.create({"solver": "SparseCholesky",
