@@ -14,6 +14,7 @@
 // All graph inputs are CSR with int64 indptr and int32 indices.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -315,3 +316,303 @@ int64_t csr_bandwidth(const int64_t* indptr, const int32_t* indices,
 }
 
 }  // extern "C"
+
+// ==========================================================================
+// Multilevel K-way graph partitioner (the KaMinPar role in the reference —
+// GraphPartition.cpp:176-289: 32-node banks for the MAS preconditioner, and
+// the row-partition for distribution). Multilevel recursive bisection:
+// heavy-edge-matching coarsening -> greedy BFS bisection -> FM boundary
+// refinement -> uncoarsen. Weights are int64 (callers quantize).
+// ==========================================================================
+
+namespace {
+
+struct Graph {
+  int64_t n = 0;
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> adj;
+  std::vector<int64_t> w;       // edge weights
+  std::vector<int64_t> vw;      // vertex weights (coarse vertices aggregate)
+};
+
+// Heavy-edge matching: returns coarse graph + fine->coarse map.
+Graph hem_coarsen(const Graph& g, std::vector<int32_t>& map, std::mt19937& rng) {
+  const int64_t n = g.n;
+  std::vector<int32_t> match(n, -1);
+  std::vector<int32_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = static_cast<int32_t>(i);
+  std::shuffle(order.begin(), order.end(), rng);
+  for (int32_t u : order) {
+    if (match[u] != -1) continue;
+    int64_t best_w = -1;
+    int32_t best_v = -1;
+    for (int64_t p = g.indptr[u]; p < g.indptr[u + 1]; ++p) {
+      int32_t v = g.adj[p];
+      if (v != u && match[v] == -1 && g.w[p] > best_w) {
+        best_w = g.w[p];
+        best_v = v;
+      }
+    }
+    match[u] = (best_v >= 0) ? best_v : u;
+    if (best_v >= 0) match[best_v] = u;
+  }
+  map.assign(n, -1);
+  int32_t nc = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (map[i] != -1) continue;
+    map[i] = nc;
+    if (match[i] != static_cast<int32_t>(i)) map[match[i]] = nc;
+    ++nc;
+  }
+  // contract
+  Graph c;
+  c.n = nc;
+  c.vw.assign(nc, 0);
+  for (int64_t i = 0; i < n; ++i) c.vw[map[i]] += g.vw[i];
+  // bucket edges by coarse source, merge duplicates with a stamp array
+  std::vector<std::vector<std::pair<int32_t, int64_t>>> rows(nc);
+  for (int64_t u = 0; u < n; ++u) {
+    int32_t cu = map[u];
+    for (int64_t p = g.indptr[u]; p < g.indptr[u + 1]; ++p) {
+      int32_t cv = map[g.adj[p]];
+      if (cu != cv) rows[cu].emplace_back(cv, g.w[p]);
+    }
+  }
+  c.indptr.assign(nc + 1, 0);
+  std::vector<int64_t> acc(nc, 0);
+  std::vector<int64_t> stamp(nc, -1);
+  for (int32_t u = 0; u < nc; ++u) {
+    auto& r = rows[u];
+    std::sort(r.begin(), r.end());
+    size_t wpos = 0;
+    for (size_t i = 0; i < r.size();) {
+      int64_t sum = 0;
+      size_t j = i;
+      while (j < r.size() && r[j].first == r[i].first) sum += r[j++].second;
+      r[wpos++] = {r[i].first, sum};
+      i = j;
+    }
+    r.resize(wpos);
+    c.indptr[u + 1] = c.indptr[u] + static_cast<int64_t>(wpos);
+  }
+  (void)acc; (void)stamp;
+  c.adj.resize(c.indptr[nc]);
+  c.w.resize(c.indptr[nc]);
+  for (int32_t u = 0; u < nc; ++u) {
+    int64_t base = c.indptr[u];
+    for (size_t i = 0; i < rows[u].size(); ++i) {
+      c.adj[base + i] = rows[u][i].first;
+      c.w[base + i] = rows[u][i].second;
+    }
+  }
+  return c;
+}
+
+// Greedy BFS bisection into sides 0/1 targeting vertex-weight split
+// target0 : (total - target0), then FM boundary refinement.
+void bisect(const Graph& g, int64_t target0, std::vector<int8_t>& side,
+            std::mt19937& rng) {
+  const int64_t n = g.n;
+  side.assign(n, 1);
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) total += g.vw[i];
+  // BFS-grow side 0 from a pseudo-peripheral seed
+  int64_t w0 = 0;
+  std::vector<uint8_t> vis(n, 0);
+  std::uniform_int_distribution<int64_t> pick(0, n - 1);
+  int64_t seed = pick(rng);
+  std::queue<int32_t> q;
+  q.push(static_cast<int32_t>(seed));
+  vis[seed] = 1;
+  while (w0 < target0) {
+    if (q.empty()) {
+      int64_t s = -1;
+      for (int64_t i = 0; i < n; ++i)
+        if (!vis[i]) { s = i; break; }
+      if (s < 0) break;
+      vis[s] = 1;
+      q.push(static_cast<int32_t>(s));
+    }
+    int32_t u = q.front();
+    q.pop();
+    side[u] = 0;
+    w0 += g.vw[u];
+    for (int64_t p = g.indptr[u]; p < g.indptr[u + 1]; ++p) {
+      int32_t v = g.adj[p];
+      if (!vis[v]) { vis[v] = 1; q.push(v); }
+    }
+  }
+  // FM refinement: a few passes of best-gain boundary moves under balance
+  const int64_t lo0 = target0 - target0 / 16 - 1;
+  const int64_t hi0 = target0 + target0 / 16 + 1;
+  std::vector<int64_t> gain(n);
+  for (int pass = 0; pass < 4; ++pass) {
+    bool moved = false;
+    for (int64_t u = 0; u < n; ++u) {
+      int64_t ext = 0, in = 0;
+      for (int64_t p = g.indptr[u]; p < g.indptr[u + 1]; ++p) {
+        if (side[g.adj[p]] != side[u]) ext += g.w[p];
+        else in += g.w[p];
+      }
+      gain[u] = ext - in;
+      if (gain[u] > 0) {
+        int64_t nw0 = w0 + (side[u] == 1 ? g.vw[u] : -g.vw[u]);
+        if (nw0 >= lo0 && nw0 <= hi0) {
+          side[u] = static_cast<int8_t>(1 - side[u]);
+          w0 = nw0;
+          moved = true;
+        }
+      }
+    }
+    if (!moved) break;
+  }
+}
+
+// Extract the side-s subgraph with a local index map.
+Graph subgraph(const Graph& g, const std::vector<int8_t>& side, int8_t s,
+               std::vector<int64_t>& orig_of) {
+  Graph h;
+  std::vector<int32_t> loc(g.n, -1);
+  orig_of.clear();
+  for (int64_t i = 0; i < g.n; ++i)
+    if (side[i] == s) {
+      loc[i] = static_cast<int32_t>(orig_of.size());
+      orig_of.push_back(i);
+    }
+  h.n = static_cast<int64_t>(orig_of.size());
+  h.indptr.assign(h.n + 1, 0);
+  h.vw.resize(h.n);
+  for (int64_t i = 0; i < h.n; ++i) {
+    int64_t u = orig_of[i];
+    h.vw[i] = g.vw[u];
+    int64_t deg = 0;
+    for (int64_t p = g.indptr[u]; p < g.indptr[u + 1]; ++p)
+      if (loc[g.adj[p]] >= 0) ++deg;
+    h.indptr[i + 1] = h.indptr[i] + deg;
+  }
+  h.adj.resize(h.indptr[h.n]);
+  h.w.resize(h.indptr[h.n]);
+  for (int64_t i = 0; i < h.n; ++i) {
+    int64_t u = orig_of[i];
+    int64_t pos = h.indptr[i];
+    for (int64_t p = g.indptr[u]; p < g.indptr[u + 1]; ++p)
+      if (loc[g.adj[p]] >= 0) {
+        h.adj[pos] = loc[g.adj[p]];
+        h.w[pos] = g.w[p];
+        ++pos;
+      }
+  }
+  return h;
+}
+
+// Multilevel bisection: coarsen until small, bisect, project (maps compose).
+void ml_bisect(const Graph& g, int64_t target0, std::vector<int8_t>& side,
+               std::mt19937& rng) {
+  if (g.n <= 64) {
+    bisect(g, target0, side, rng);
+    return;
+  }
+  std::vector<const Graph*> dummy;
+  std::vector<Graph> levels;
+  std::vector<std::vector<int32_t>> maps;
+  levels.push_back(g);
+  while (levels.back().n > 64) {
+    std::vector<int32_t> map;
+    Graph c = hem_coarsen(levels.back(), map, rng);
+    if (c.n >= levels.back().n * 9 / 10) break;  // stalled
+    maps.push_back(std::move(map));
+    levels.push_back(std::move(c));
+  }
+  std::vector<int8_t> cside;
+  bisect(levels.back(), target0, cside, rng);
+  // project back with FM refinement at each level
+  for (int64_t l = static_cast<int64_t>(maps.size()) - 1; l >= 0; --l) {
+    const Graph& fine = levels[l];
+    std::vector<int8_t> fside(fine.n);
+    for (int64_t i = 0; i < fine.n; ++i) fside[i] = cside[maps[l][i]];
+    // re-balance/refine on the fine level
+    int64_t w0 = 0;
+    for (int64_t i = 0; i < fine.n; ++i)
+      if (fside[i] == 0) w0 += fine.vw[i];
+    const int64_t lo0 = target0 - target0 / 16 - 1;
+    const int64_t hi0 = target0 + target0 / 16 + 1;
+    for (int pass = 0; pass < 3; ++pass) {
+      bool moved = false;
+      for (int64_t u = 0; u < fine.n; ++u) {
+        int64_t ext = 0, in = 0;
+        for (int64_t p = fine.indptr[u]; p < fine.indptr[u + 1]; ++p) {
+          if (fside[fine.adj[p]] != fside[u]) ext += fine.w[p];
+          else in += fine.w[p];
+        }
+        bool balance_move =
+            (fside[u] == 0 && w0 > hi0) || (fside[u] == 1 && w0 < lo0);
+        if (ext > in || balance_move) {
+          int64_t nw0 = w0 + (fside[u] == 1 ? fine.vw[u] : -fine.vw[u]);
+          if ((nw0 >= lo0 && nw0 <= hi0) || balance_move) {
+            fside[u] = static_cast<int8_t>(1 - fside[u]);
+            w0 = nw0;
+            moved = true;
+          }
+        }
+      }
+      if (!moved) break;
+    }
+    cside = std::move(fside);
+  }
+  side = std::move(cside);
+}
+
+// Recursive K-way driver.
+void kway_recurse(const Graph& g, const std::vector<int64_t>& orig,
+                  int64_t k, int32_t base, int32_t* part_out,
+                  std::mt19937& rng) {
+  if (k <= 1 || g.n == 0) {
+    for (int64_t i = 0; i < g.n; ++i) part_out[orig[i]] = base;
+    return;
+  }
+  int64_t k0 = k / 2;
+  int64_t total = 0;
+  for (int64_t i = 0; i < g.n; ++i) total += g.vw[i];
+  int64_t target0 = total * k0 / k;
+  std::vector<int8_t> side;
+  ml_bisect(g, target0, side, rng);
+  for (int8_t s = 0; s < 2; ++s) {
+    std::vector<int64_t> sub_orig;
+    Graph h = subgraph(g, side, s, sub_orig);
+    std::vector<int64_t> horig(h.n);
+    for (int64_t i = 0; i < h.n; ++i) horig[i] = orig[sub_orig[i]];
+    kway_recurse(h, horig, s == 0 ? k0 : k - k0,
+                 s == 0 ? base : base + static_cast<int32_t>(k0),
+                 part_out, rng);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// --------------------------------------------------------------------------
+// K-way graph partition (multilevel recursive bisection). weights: int64
+// edge weights aligned with indices (pass all-1s for unweighted). Returns k
+// actually used (== k), or -1 on error. part_out[i] in [0, k).
+// --------------------------------------------------------------------------
+int64_t kway_partition(const int64_t* indptr, const int32_t* indices,
+                       const int64_t* weights, int64_t n, int64_t k,
+                       int32_t* part_out) {
+  if (k <= 0 || n <= 0) return -1;
+  Graph g;
+  g.n = n;
+  g.indptr.assign(indptr, indptr + n + 1);
+  int64_t nnz = indptr[n];
+  g.adj.assign(indices, indices + nnz);
+  g.w.assign(weights, weights + nnz);
+  g.vw.assign(n, 1);
+  std::vector<int64_t> orig(n);
+  for (int64_t i = 0; i < n; ++i) orig[i] = i;
+  std::mt19937 rng(12345);
+  kway_recurse(g, orig, k, 0, part_out, rng);
+  return k;
+}
+
+}  // extern "C"
+

@@ -8,9 +8,13 @@ device-resident PCG with device scalars and periodic convergence reads.
 
 TPU mapping here:
 
-- banks = contiguous ``bank_size``-node windows after RCM ordering (band
-  locality replaces the graph partitioner; KaMinPar-quality partitioning is a
-  host C++ upgrade path — reference GraphPartition.cpp:176-289);
+- banks come from the native **multilevel K-way graph partitioner**
+  (cpp/host_kernels.cpp ``kway_partition`` — the KaMinPar role,
+  GraphPartition.cpp:176-289) with K = ⌈n/(bank−2)⌉ per the paper's Eq.7;
+  each part is padded to exactly ``bank`` nodes with decoupled identity
+  dummy rows — the reference's real↔padded bank maps
+  (MASPreconditioner.cu:58-110, fig.6 of the paper). RCM windows are the
+  fallback when the native library is absent;
 - the preconditioner = banked block-Jacobi with **batched dense inverses**
   applied as one batched matvec — exactly the MXU-shaped work the reference
   does with warp Gauss-Jordan + shared-memory symv
@@ -30,12 +34,37 @@ import numpy as np
 import scipy.sparse as sp
 from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-import jax.numpy as jnp
-
-from polysolve_tpu import ops
+from polysolve_tpu import native, ops
 from polysolve_tpu.linear import preconditioners
 from polysolve_tpu.linear.iterative import KrylovSolver
 from polysolve_tpu.linear.solver import register_solver
+
+
+def _bank_partition(An: sp.csr_matrix, bank: int):
+    """Partition the node graph into parts of ≤ ``bank`` nodes.
+
+    Native multilevel K-way partition (K = ⌈n/(bank−2)⌉, the paper's Eq.7 —
+    GraphPartition.cpp:255-273) with oversize parts split in part-local
+    order; RCM windows as fallback. Returns a list of node-index arrays."""
+    n = An.shape[0]
+    k = max(-(-n // max(bank - 2, 1)), 1)
+    off = sp.csr_matrix(An - sp.diags(An.diagonal()))
+    off.eliminate_zeros()
+    part = native.kway_partition(off, k) if k > 1 else np.zeros(n, np.int32)
+    if part is None:
+        # fallback: RCM band windows (contiguous after reordering)
+        perm = np.asarray(reverse_cuthill_mckee(An, symmetric_mode=True))
+        return [perm[i: i + bank] for i in range(0, n, bank)]
+    parts = []
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(k + 1))
+    for p in range(k):
+        nodes = order[bounds[p]: bounds[p + 1]]
+        for i in range(0, len(nodes), bank):  # enforce the hard cap
+            chunk = nodes[i: i + bank]
+            if len(chunk):
+                parts.append(chunk)
+    return parts
 
 
 @register_solver("MAS")
@@ -63,40 +92,73 @@ class MASSolver(KrylovSolver):
 
     def __init__(self):
         super().__init__()
-        self.perm: Optional[np.ndarray] = None
-        self._lazy = True
+        self.pad_src: Optional[np.ndarray] = None  # padded slot → source node
+        self.n_real = 0
+        self._n_parts = 0
 
     def _atol(self) -> float:
         return float(self.params.get("abs_tolerance", 1e-8))
 
     def analyze_pattern(self, A: sp.spmatrix, precond_num: int = 0) -> None:
-        super().analyze_pattern(A, precond_num)
+        KrylovSolver.analyze_pattern(self, A, precond_num)
         A = sp.csr_matrix(A)
-        # node-level RCM so each bank is a tight band window (the role of the
-        # reference's KaMinPar partition + permutation, MASSolver.cu:83-131)
+        self.n_real = A.shape[0]
         bd = int(self.params.get("block_dim", 1))
+        bank = int(self.params.get("bank_size", 32))
+        # node-level adjacency (block-condensed for bd > 1 — the reference's
+        # BSR adjacency, BSRAdjacency.cu)
         if bd > 1:
             C = sp.coo_matrix(A)
-            nb = A.shape[0] // bd
+            nn = A.shape[0] // bd
             An = sp.csr_matrix(
-                (np.abs(C.data), (C.row // bd, C.col // bd)), shape=(nb, nb)
-            )
-            node_perm = np.asarray(reverse_cuthill_mckee(An, symmetric_mode=True))
-            self.perm = (node_perm[:, None] * bd + np.arange(bd)[None, :]).ravel()
+                (np.abs(C.data), (C.row // bd, C.col // bd)), shape=(nn, nn))
         else:
-            self.perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+            An = sp.csr_matrix(np.abs(A))
+        parts = _bank_partition(An, bank)
+        self._n_parts = len(parts)
+        # padded node layout: part p occupies node slots [p·bank, (p+1)·bank);
+        # unfilled slots are decoupled dummy nodes (identity rows)
+        pad_nodes = np.full(len(parts) * bank, -1, dtype=np.int64)
+        for p, nodes in enumerate(parts):
+            pad_nodes[p * bank: p * bank + len(nodes)] = nodes
+        # expand node slots to dof slots
+        if bd > 1:
+            src = np.where(
+                pad_nodes[:, None] >= 0,
+                pad_nodes[:, None] * bd + np.arange(bd)[None, :],
+                -1,
+            ).ravel()
+        else:
+            src = pad_nodes
+        self.pad_src = src
+
+    def _build_padded(self, A: sp.csr_matrix) -> sp.csr_matrix:
+        """P A Pᵀ plus identity on dummy slots (the reference's padded bank
+        system, MASPreconditioner.cu:58-110)."""
+        n_pad = len(self.pad_src)
+        real = self.pad_src >= 0
+        rows = np.flatnonzero(real)
+        P = sp.csr_matrix(
+            (np.ones(len(rows)), (rows, self.pad_src[real])),
+            shape=(n_pad, self.n_real),
+        )
+        Apad = sp.csr_matrix(P @ A @ P.T)
+        dummy = (~real).astype(np.float64)
+        if dummy.any():
+            Apad = sp.csr_matrix(Apad + sp.diags(dummy))
+        self._P = P
+        return Apad
 
     def factorize(self, A: sp.spmatrix) -> None:
         A = sp.csr_matrix(A)
-        if self.perm is None or len(self.perm) != A.shape[0] or not bool(
+        if self.pad_src is None or self.n_real != A.shape[0] or not bool(
             self.params.get("lazy_partitioning", True)
         ):
             # lazy_partitioning reuses the first partition across
             # refactorizations (reference MASSolver.cu:304-321)
             self.analyze_pattern(A, self.precond_num)
-        Ap = A[self.perm][:, self.perm]
-        self.A_host = sp.csr_matrix(Ap)
         bd = int(self.params.get("block_dim", 1))
+        self.A_host = self._build_padded(A)
         self.A_dev = ops.to_device_matrix(self.A_host, block_size=bd)
         self.pstate = preconditioners.make(
             "MAS", self.A_host, self.A_dev,
@@ -107,19 +169,16 @@ class MASSolver(KrylovSolver):
 
     def solve(self, b: np.ndarray, x: Optional[np.ndarray] = None) -> np.ndarray:
         b = np.asarray(b, dtype=np.float64)
-        bp = b[self.perm] if b.ndim == 1 else b[self.perm, :]
-        x0 = None
-        if x is not None:
-            x = np.asarray(x, dtype=np.float64)
-            x0 = x[self.perm] if x.ndim == 1 else x[self.perm, :]
-        out_p = super().solve(bp, x0)
-        out = np.empty_like(out_p)
-        out[self.perm] = out_p
-        return out
+        bp = self._P @ b
+        x0 = self._P @ np.asarray(x, dtype=np.float64) if x is not None else None
+        out_p = KrylovSolver.solve(self, bp, x0)
+        return self._P.T @ out_p
 
     def get_info(self) -> Dict[str, Any]:
-        info = super().get_info()
+        info = KrylovSolver.get_info(self)
         # reference get_info: iter + residual + status string (MASSolver.cu:214-219)
         info["status"] = "CONVERGED" if self._error <= self._tol() or \
             self._iters < self._max_iter() else "MAX_ITER"
+        info["num_banks"] = self._n_parts
+        info["padded_n"] = 0 if self.pad_src is None else len(self.pad_src)
         return info

@@ -73,6 +73,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.csr_bandwidth.argtypes = [_i64p, _i32p, ctypes.c_int64]
     lib.md_order.restype = ctypes.c_int
     lib.md_order.argtypes = [_i64p, _i32p, ctypes.c_int64, _i32p]
+    lib.kway_partition.restype = ctypes.c_int64
+    lib.kway_partition.argtypes = [_i64p, _i32p, _i64p, ctypes.c_int64,
+                                   ctypes.c_int64, _i32p]
     _LIB = lib
     return _LIB
 
@@ -162,6 +165,33 @@ def md_order(A) -> Optional[np.ndarray]:
     if lib.md_order(indptr, indices, n, perm) != 0:
         return None
     return perm.astype(np.int64)
+
+
+def kway_partition(A, k: int, weights: Optional[np.ndarray] = None
+                   ) -> Optional[np.ndarray]:
+    """Multilevel K-way graph partition (heavy-edge-matching coarsening +
+    recursive bisection + FM refinement — the reference's KaMinPar role,
+    GraphPartition.cpp:176-289). ``A`` is the (symmetric) adjacency in CSR;
+    ``weights`` int64 edge weights aligned with ``A.indices`` (default: |data|
+    quantized). Returns part ids (n,) in [0, k), or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    indptr, indices = _csr_arrays(A)
+    if weights is None:
+        d = np.abs(A.data)
+        scale = d.max() if d.size and d.max() > 0 else 1.0
+        weights = np.maximum((d / scale * 1024).astype(np.int64), 1)
+    weights = np.ascontiguousarray(weights, dtype=np.int64)
+    n = A.shape[0]
+    part = np.empty(n, dtype=np.int32)
+    got = lib.kway_partition(indptr, indices, weights, n, int(k), part)
+    if got <= 0:
+        return None
+    return part
 
 
 def csr_bandwidth(A) -> Optional[int]:

@@ -48,6 +48,30 @@ def test_md_order_reduces_fill():
     assert sorted(perm) == list(range(A.shape[0]))
 
 
+def test_kway_partition_quality_and_balance():
+    """Native multilevel K-way partition: valid part ids, bounded imbalance,
+    edge cut clearly better than contiguous chunking (the KaMinPar role,
+    reference GraphPartition.cpp:176-289)."""
+    A = poisson2d(48)
+    off = sp.csr_matrix(A - sp.diags(A.diagonal()))
+    off.eliminate_zeros()
+    n = A.shape[0]
+    k = 32
+    part = native.kway_partition(off, k)
+    if part is None:
+        pytest.skip("native library unavailable")
+    assert part.min() >= 0 and part.max() < k
+    sizes = np.bincount(part, minlength=k)
+    assert sizes.max() <= 2 * n // k  # bounded imbalance
+
+    def cut(p):
+        C = sp.coo_matrix(off)
+        return int(np.sum((p[C.row] != p[C.col]) & (C.row < C.col)))
+
+    contiguous = np.arange(n) * k // n
+    assert cut(part) < cut(contiguous)
+
+
 def test_etree_postorder_is_permutation():
     A = poisson2d(10)
     perm = md_ordering(A)
