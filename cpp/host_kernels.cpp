@@ -265,7 +265,28 @@ int md_order(const int64_t* indptr, const int32_t* indices, int64_t n,
     var_elems[p].clear();
     var_elems[p].shrink_to_fit();
 
-    // update every variable in Lp (in_lp[] marks Lp membership)
+    // update every variable in Lp (in_lp[] marks Lp membership) using
+    // Amestoy's approximate external degree: first compute
+    // w[e] = |Le \ Lp| for every element adjacent to Lp in one sweep,
+    // then each degree is O(|A_i| + |E_i|) — the AMD bound, no reach scans.
+    ++stamp_val;
+    const int64_t lp_size = static_cast<int64_t>(Lp.size());
+    for (int32_t i : Lp) {
+      auto& es = var_elems[i];
+      size_t w = 0;
+      for (int32_t e : es)
+        if (!absorbed[e]) es[w++] = e;
+      es.resize(w);
+      for (int32_t e : es) {
+        if (stamp[e] != stamp_val) {
+          stamp[e] = stamp_val;
+          cur_deg[e] = static_cast<int64_t>(elem_verts[e].size());
+          // cur_deg[] doubles as w[] for eliminated ids (they never re-enter
+          // the heap), avoiding a second n-sized array
+        }
+        --cur_deg[e];
+      }
+    }
     for (int32_t i : Lp) {
       // prune var_adj[i]: drop eliminated vars and vars covered by element p
       auto& a = var_adj[i];
@@ -273,25 +294,23 @@ int md_order(const int64_t* indptr, const int32_t* indices, int64_t n,
       for (int32_t v : a)
         if (!eliminated[v] && !in_lp[v]) a[w++] = v;
       a.resize(w);
-      // prune absorbed elements, then attach p
       auto& es = var_elems[i];
-      w = 0;
-      for (int32_t e : es)
-        if (!absorbed[e]) es[w++] = e;
-      es.resize(w);
+      int64_t deg = static_cast<int64_t>(a.size()) + (lp_size - 1);
+      size_t we = 0;
+      for (int32_t e : es) {
+        int64_t ext = cur_deg[e];  // |Le \ Lp|
+        if (ext <= 0) {            // aggressive absorption: Le subset of Lp
+          absorbed[e] = 1;
+          elem_verts[e].clear();
+          elem_verts[e].shrink_to_fit();
+          continue;
+        }
+        es[we++] = e;
+        deg += ext;
+      }
+      es.resize(we);
       es.push_back(p);
-      // exact external degree via a fresh stamp
-      ++stamp_val;
-      stamp[i] = stamp_val;
-      int64_t deg = 0;
-      for (int32_t v : a)
-        if (stamp[v] != stamp_val) { stamp[v] = stamp_val; ++deg; }
-      for (int32_t e : es)
-        for (int32_t v : elem_verts[e])
-          if (!eliminated[v] && stamp[v] != stamp_val) {
-            stamp[v] = stamp_val;
-            ++deg;
-          }
+      deg = std::min(deg, n);  // clamp the upper bound
       cur_deg[i] = deg;
       heap.emplace(deg, i);
     }

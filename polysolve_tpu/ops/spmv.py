@@ -99,15 +99,21 @@ def to_device_matrix(
 _VMEM_BUDGET = 12 * 2**20  # leave headroom below the ~16MB/core VMEM
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _pick_tile(n: int, K: int, halo: int, itemsize: int = 4) -> int:
     """Largest power-of-two tile dividing n whose working set fits the VMEM
     budget: the grid pipeline double-buffers the vals block and the output
-    (2·K·T + 2·T), plus the manually-DMA'd window (T+halo). Capped at 2^17:
-    larger 1-D lane extents crash the TPU compiler (measured, see
-    experiments/spmv_pallas3.py)."""
+    (2·K·T + 2·T), plus the manually-DMA'd window (round_up(T+halo, 1024) —
+    Mosaic requires 1024-aligned 1-D slice shapes). Capped at 2^17: larger
+    1-D lane extents crash the TPU compile helper (measured, see
+    experiments/spmv_pallas3.py). Minimum 1024 keeps slice *starts* aligned."""
     tile = 1 << 17
-    while tile >= 512:
-        if n % tile == 0 and (2 * K * tile + 2 * tile + (tile + halo)) \
+    while tile >= 1024:
+        win = _round_up(tile + halo, 1024)
+        if n % tile == 0 and (2 * K * tile + 2 * tile + win) \
                 * itemsize <= _VMEM_BUDGET:
             return tile
         tile >>= 1
@@ -142,13 +148,16 @@ def _pallas_dia_overlap(vals, x, offsets, tile):
     n = x.shape[0]
     left = max(0, -min(offsets))
     right = max(0, max(offsets))
-    xp = jnp.pad(x, (left, right))
     K = vals.shape[0]
+    # Mosaic requires 1-D slice shapes aligned to the 1024 tiling: round the
+    # DMA window up and over-pad x so the last tile's window stays in bounds
+    win = -(-(tile + left + right) // 1024) * 1024
+    xp = jnp.pad(x, (left, right + (win - (tile + left + right))))
 
     def kernel(vals_ref, xp_hbm, y_ref, xwin_ref, sem):
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(i * tile, tile + left + right)], xwin_ref, sem
+            xp_hbm.at[pl.ds(i * tile, win)], xwin_ref, sem
         )
         cp.start()
         cp.wait()
@@ -168,7 +177,7 @@ def _pallas_dia_overlap(vals, x, offsets, tile):
         ],
         out_specs=pl.BlockSpec((tile,), lambda i: (i,)),
         scratch_shapes=[
-            pltpu.VMEM((tile + left + right,), vals.dtype),
+            pltpu.VMEM((win,), vals.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(vals, xp)
