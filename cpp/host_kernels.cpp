@@ -398,8 +398,6 @@ Graph hem_coarsen(const Graph& g, std::vector<int32_t>& map, std::mt19937& rng) 
     }
   }
   c.indptr.assign(nc + 1, 0);
-  std::vector<int64_t> acc(nc, 0);
-  std::vector<int64_t> stamp(nc, -1);
   for (int32_t u = 0; u < nc; ++u) {
     auto& r = rows[u];
     std::sort(r.begin(), r.end());
@@ -414,7 +412,6 @@ Graph hem_coarsen(const Graph& g, std::vector<int32_t>& map, std::mt19937& rng) 
     r.resize(wpos);
     c.indptr[u + 1] = c.indptr[u] + static_cast<int64_t>(wpos);
   }
-  (void)acc; (void)stamp;
   c.adj.resize(c.indptr[nc]);
   c.w.resize(c.indptr[nc]);
   for (int32_t u = 0; u < nc; ++u) {
@@ -531,7 +528,6 @@ void ml_bisect(const Graph& g, int64_t target0, std::vector<int8_t>& side,
     bisect(g, target0, side, rng);
     return;
   }
-  std::vector<const Graph*> dummy;
   std::vector<Graph> levels;
   std::vector<std::vector<int32_t>> maps;
   levels.push_back(g);

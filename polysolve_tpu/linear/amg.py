@@ -48,11 +48,16 @@ class AMGLevel:
     A: Any                     # device matrix (ELL/DIA)
     P: Any                     # prolongator (ELL, n_f × n_c) — None on
     R: Any                     # structured levels (R likewise)
-    theta: jnp.ndarray         # chebyshev center
-    delta: jnp.ndarray         # chebyshev half-width
-    Dinv: Any                  # 1/diag (structured transfer); else None
+    theta: jnp.ndarray         # 1st-kind chebyshev center
+    delta: jnp.ndarray         # 1st-kind chebyshev half-width
+    Dinv: Any                  # 1/diag — smoother scaling + structured transfer
     w_smooth: Any              # ω/ρ prolongator smoothing weight; else None
+    rho_da: jnp.ndarray        # ρ(D⁻¹A) upper bound (4th-kind smoother)
     degree: int = struct.field(pytree_node=False)
+    # "cheb4": Jacobi-scaled 4th-kind Chebyshev (needs only the upper bound —
+    # the optimal-polynomial-smoother result, arXiv:2407.09848 / Lottes);
+    # "cheb1": classic bracketed 1st-kind (the AMGCL default family)
+    smoother: str = struct.field(pytree_node=False, default="cheb4")
     # grid dims when the level uses structured (gather-free) transfers:
     # T = 2× box broadcast, Tᵀ = reshape-sum, P = (I − ωD⁻¹A)·T as a DIA
     # matvec — no irregular memory access anywhere in the cycle (XLA gather
@@ -69,7 +74,7 @@ class AMGState:
 
 
 def _chebyshev(A, theta, delta, degree: int, r):
-    """z ≈ A⁻¹ r by degree-d Chebyshev on [θ−δ, θ+δ] (zero initial guess)."""
+    """z ≈ A⁻¹ r by degree-d 1st-kind Chebyshev on [θ−δ, θ+δ] (zero guess)."""
     sigma = theta / delta
     rho = 1.0 / sigma
     d = r / theta
@@ -80,6 +85,32 @@ def _chebyshev(A, theta, delta, degree: int, r):
         z = z + d
         rho = rho_new
     return z
+
+
+def _chebyshev4(A, Dinv, rho, degree: int, b):
+    """Jacobi-scaled 4th-kind Chebyshev smoother (zero initial guess):
+    z = p(D⁻¹A)·D⁻¹ b with p the normalized 4th-kind Chebyshev polynomial on
+    (0, ρ(D⁻¹A)] — optimal-smoother coefficients β_k = (2k−1)/(2k+3),
+    γ_k = (8k+4)/((2k+3)ρ); needs no lower spectral bound
+    (arXiv:2407.09848; Lottes 2022). Symmetric as an operator, so the
+    V-cycle stays a valid SPD CG preconditioner."""
+    r = b
+    d = (4.0 / (3.0 * rho)) * (Dinv * r)
+    z = jnp.zeros_like(b)
+    for k in range(1, degree + 1):
+        z = z + d
+        if k == degree:
+            break
+        r = r - ops.matvec(A, d)
+        d = ((2.0 * k - 1.0) / (2.0 * k + 3.0)) * d \
+            + ((8.0 * k + 4.0) / (2.0 * k + 3.0) / rho) * (Dinv * r)
+    return z
+
+
+def _smooth(lev: "AMGLevel", r):
+    if lev.smoother == "cheb4":
+        return _chebyshev4(lev.A, lev.Dinv, lev.rho_da, lev.degree, r)
+    return _chebyshev(lev.A, lev.theta, lev.delta, lev.degree, r)
 
 
 def _t_apply(grid, xc: jnp.ndarray) -> jnp.ndarray:
@@ -127,7 +158,7 @@ def cycle(state: AMGState, r: jnp.ndarray) -> jnp.ndarray:
         if l == len(state.levels):
             return jax.scipy.linalg.lu_solve((state.coarse_lu, state.coarse_piv), rl)
         lev = state.levels[l]
-        z = _chebyshev(lev.A, lev.theta, lev.delta, lev.degree, rl)
+        z = _smooth(lev, rl)
         resid = rl - ops.matvec(lev.A, z)
         rc = _r_apply(lev, resid)
         zc = level_solve(l + 1, rc)
@@ -136,8 +167,7 @@ def cycle(state: AMGState, r: jnp.ndarray) -> jnp.ndarray:
                 rc2 = rc - ops.matvec(state.levels[l + 1].A, zc)
                 zc = zc + level_solve(l + 1, rc2)
         z = z + _p_apply(lev, zc)
-        z = z + _chebyshev(lev.A, lev.theta, lev.delta, lev.degree,
-                           rl - ops.matvec(lev.A, z))
+        z = z + _smooth(lev, rl - ops.matvec(lev.A, z))
         return z
 
     return level_solve(0, r)
@@ -172,6 +202,7 @@ class AMGHierarchy:
         degree = int(params.get("relax_degree", 3))
         ncycle = int(params.get("ncycle", 1))
         omega = float(params.get("omega", 4.0 / 3.0))
+        smoother = str(params.get("smoother", "cheb4"))
         dtype = default_dtype()
 
         A0 = sp.csr_matrix(A).astype(np.float64)
@@ -209,8 +240,13 @@ class AMGHierarchy:
             if n_agg >= Al.shape[0]:  # no coarsening progress
                 break
             aggregates.append((agg, n_agg))
+            d = Al.diagonal()
+            d = np.where(d != 0, d, 1.0)
+            # one ρ(D⁻¹A) power iteration per level, shared by the smoothed
+            # prolongator weight and the 4th-kind smoother bound
+            rho_da = _spectral_radius_host(sp.diags(1.0 / d) @ Al)
             P_tent, Bc = _tentative_prolongator(agg, n_agg, Bl)
-            P, w_used = _smooth_prolongator(Al, P_tent, omega)
+            P, w_used = _smooth_prolongator(Al, P_tent, omega, rho_da=rho_da)
             R = sp.csr_matrix(P.T)
             Ac = sp.csr_matrix(R @ Al @ P)
             Ac.eliminate_zeros()
@@ -223,19 +259,22 @@ class AMGHierarchy:
                 dia_max_diags=512 if len(levels) > 0 else 64,
                 dia_fill_threshold=0.05 if len(levels) > 0 else 0.55,
             )
-            rho = _spectral_radius_host(Al)
-            lo, hi = rho / 30.0, 1.1 * rho
-            d = Al.diagonal()
-            d = np.where(d != 0, d, 1.0)
+            if smoother == "cheb1":
+                rho = _spectral_radius_host(Al)
+                lo, hi = rho / 30.0, 1.1 * rho
+            else:
+                lo, hi = 1.0, 1.0  # unused by cheb4
             levels.append(AMGLevel(
                 A=A_dev,
                 P=None if structured else ell_from_scipy(P, dtype=dtype),
                 R=None if structured else ell_from_scipy(R, dtype=dtype),
                 theta=jnp.asarray((hi + lo) / 2.0, dtype=dtype),
                 delta=jnp.asarray((hi - lo) / 2.0, dtype=dtype),
-                Dinv=jnp.asarray(1.0 / d, dtype=dtype) if structured else None,
+                Dinv=jnp.asarray(1.0 / d, dtype=dtype),
                 w_smooth=jnp.asarray(w_used, dtype=dtype) if structured else None,
+                rho_da=jnp.asarray(1.02 * rho_da, dtype=dtype),
                 degree=degree,
+                smoother=smoother,
                 grid=grid if structured else None,
             ))
             Al, Bl = Ac, Bc
@@ -399,7 +438,7 @@ def _tentative_prolongator(agg: np.ndarray, n_agg: int, B: np.ndarray):
 
 
 def _smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
-                        omega: float):
+                        omega: float, rho_da: Optional[float] = None):
     """P = (I − ω/ρ(D⁻¹A) · D⁻¹A) · P_tent (Jacobi-smoothed prolongation).
     Returns (P, ω/ρ) — the weight is reused by the device-side structured
     transfer, which must match this host P exactly."""
@@ -407,7 +446,7 @@ def _smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
     d = np.where(d != 0, d, 1.0)
     Dinv = sp.diags(1.0 / d)
     DA = sp.csr_matrix(Dinv @ A)
-    rho = _spectral_radius_host(DA)
+    rho = rho_da if rho_da is not None else _spectral_radius_host(DA)
     w = omega / rho
     return sp.csr_matrix(P_tent - w * (DA @ P_tent)), w
 

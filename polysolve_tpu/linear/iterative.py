@@ -296,6 +296,9 @@ def _amg_param_tree() -> Dict[str, Any]:
         "coarse_enough": leaf_i(500),
         "eps_strong": leaf_f(0.08),
         "relax_degree": leaf_i(2),        # chebyshev smoothing degree per level
+        # "cheb4" = Jacobi-scaled 4th-kind Chebyshev (optimal smoother,
+        # arXiv:2407.09848); "cheb1" = classic bracketed 1st-kind (AMGCL-style)
+        "smoother": {"type": "string", "default": "cheb4"},
         "power_iters": leaf_i(20),
         "ncycle": leaf_i(1),              # 1 = V-cycle, 2 = W-cycle (AMGCL ncycle)
         "omega": leaf_f(4.0 / 3.0),       # prolongator smoothing weight / rho
@@ -376,8 +379,12 @@ class AMGSolver(KrylovSolver):
         self.A_host = sp.csr_matrix(A)
         self.A_host.sort_indices()
         self.A_dev = ops.to_device_matrix(self.A_host, block_size=1)
-        amg_params = {k: self.params[k] for k in _amg_param_tree() if k in self.params}
-        amg_params.update(self._precond_params("AMG"))
+        # nested "AMG" preconditioner block first (spec-injected defaults),
+        # then the solver's own flat params — the user's `params["AMG"]`
+        # subtree — win (they carry the explicit configuration)
+        amg_params = dict(self._precond_params("AMG"))
+        amg_params.update(
+            {k: self.params[k] for k in _amg_param_tree() if k in self.params})
         # pattern-reuse: same sparsity ⇒ keep the aggregation, rebuild values
         # only (the reference rebuilds AMGCL fully each factorize —
         # AMGCL.cpp:148-184; we beat that, per SURVEY.md §7 hard-part #2)

@@ -169,3 +169,29 @@ def test_rbm_nullspace_preserved():
     agg = np.repeat(np.arange(6), 5)
     P, Bc = _tentative_prolongator(agg, 6, B)
     assert np.allclose(P @ Bc, B, atol=1e-10)
+
+
+def test_smoother_option_propagates_and_helps():
+    """"smoother" must reach the hierarchy through the facade (regression:
+    the nested AMG-precond default block used to override it), and the
+    4th-kind Chebyshev smoother (arXiv:2407.09848) must beat the bracketed
+    1st-kind on an isotropic Poisson system."""
+    import scipy.sparse as sp
+    from polysolve_tpu.linear import Solver
+
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(48, 48))
+    I = sp.identity(48)
+    A = sp.csr_matrix(sp.kron(I, T) + sp.kron(T, I))
+    b = np.random.default_rng(3).standard_normal(A.shape[0])
+    iters = {}
+    for sm in ("cheb1", "cheb4"):
+        s = Solver.create({"solver": "AMG",
+                           "AMG": {"tolerance": 1e-10, "max_iter": 300,
+                                   "smoother": sm}})
+        s.analyze_pattern(A)
+        s.factorize(A)
+        assert s.pstate.levels[0].smoother == sm
+        x = s.solve(b)
+        assert np.linalg.norm(A @ x - b) < 1e-8 * np.linalg.norm(b)
+        iters[sm] = s.get_info()["num_iterations"]
+    assert iters["cheb4"] < iters["cheb1"]
