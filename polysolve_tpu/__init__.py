@@ -29,6 +29,8 @@ from polysolve_tpu.types import (  # noqa: F401
 )
 from polysolve_tpu import linear  # noqa: F401
 from polysolve_tpu import nonlinear  # noqa: F401
+from polysolve_tpu import checkpoint  # noqa: F401
+from polysolve_tpu import validate  # noqa: F401
 
 __version__ = "0.1.0"
 
