@@ -326,29 +326,27 @@ def dia_matvec(A: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 def dia_from_scipy(A: sp.spmatrix, dtype=None, max_diags: int = 256) -> DIAMatrix:
     """Convert to DIA. Raises if the pattern has more than ``max_diags``
-    distinct diagonals (then ELL is the right format)."""
+    distinct diagonals (then ELL is the right format). Built with one
+    vectorized scatter (scipy's ``todia`` is a per-diagonal loop and warns
+    above ~100 diagonals — the AMG coarse levels hit that every setup)."""
     dtype = dtype or default_dtype()
-    Ad = sp.dia_matrix(sp.csr_matrix(A))
-    if len(Ad.offsets) > max_diags:
-        raise ValueError(
-            f"matrix has {len(Ad.offsets)} diagonals > max_diags={max_diags}"
-        )
+    A = sp.csr_matrix(A)
+    A.sum_duplicates()
     n = A.shape[0]
-    order = np.argsort(Ad.offsets)
-    offsets = tuple(int(Ad.offsets[k]) for k in order)
-    # scipy dia stores vals[k, j] indexed by column j; we want row-aligned
-    # vals[k, i] with i the row
-    vals = np.zeros((len(offsets), n), dtype=np.float64)
-    for out_k, k in enumerate(order):
-        off = int(Ad.offsets[k])
-        data = Ad.data[k]  # indexed by column j = i + off
-        i0, i1 = max(0, -off), min(n, n - off)
-        vals[out_k, i0:i1] = data[i0 + off : i1 + off]
+    C = A.tocoo()
+    d = C.col.astype(np.int64) - C.row.astype(np.int64)
+    offs, inv = np.unique(d, return_inverse=True)
+    if len(offs) > max_diags:
+        raise ValueError(
+            f"matrix has {len(offs)} diagonals > max_diags={max_diags}"
+        )
+    vals = np.zeros((len(offs), n), dtype=np.float64)
+    vals[inv, C.row] = C.data  # row-aligned: vals[k, i] pairs column i+off_k
     return DIAMatrix(
         vals=jnp.asarray(vals, dtype=dtype),
-        offsets=offsets,
+        offsets=tuple(int(o) for o in offs),
         shape=(n, n),
-        nnz=int(sp.csr_matrix(A).nnz),
+        nnz=int(A.nnz),
     )
 
 
