@@ -225,6 +225,24 @@ def _chebyshev(A_host, A_dev, params, **kw):
                       delta=(beta - alpha) / 2.0, degree=degree)
 
 
+def bank_diagonal_blocks(A: sp.spmatrix, s: int) -> np.ndarray:
+    """Dense (nb, s, s) diagonal blocks of contiguous width-``s`` banks, with
+    identity on slots past ``n`` (one vectorized COO filter — the setup-time
+    replacement of a per-bank scipy slicing loop, which dominated factorize
+    for n ≳ 1e6; reference builds these with a GPU gather+pad kernel,
+    MASPreconditioner.cu:493-591)."""
+    n = A.shape[0]
+    nb = -(-n // s)
+    C = sp.coo_matrix(A)
+    mask = (C.row // s) == (C.col // s)
+    r_, c_, d_ = C.row[mask], C.col[mask], C.data[mask]
+    blocks = np.zeros((nb, s, s), dtype=np.float64)
+    np.add.at(blocks, (r_ // s, r_ % s, c_ % s), d_)
+    tail = np.arange(n, nb * s)
+    blocks[tail // s, tail % s, tail % s] = 1.0
+    return blocks
+
+
 def _block_jacobi_apply(state: BlockJacobiP, r: jnp.ndarray) -> jnp.ndarray:
     nb, s = state.inv_blocks.shape[0], state.inv_blocks.shape[1]
     rp = jnp.concatenate([r, jnp.zeros(nb * s - state.n, dtype=r.dtype)])
@@ -241,14 +259,7 @@ def _block_jacobi(A_host, A_dev, params, block_size=1, **kw):
     MASPreconditioner.cu:798-936)."""
     bank = int(params.get("bank_size", 32)) * max(block_size, 1)
     n = A_host.shape[0]
-    nb = -(-n // bank)
-    A = sp.csr_matrix(A_host)
-    blocks = np.zeros((nb, bank, bank), dtype=np.float64)
-    for i in range(nb):
-        lo, hi = i * bank, min((i + 1) * bank, n)
-        blocks[i, : hi - lo, : hi - lo] = A[lo:hi, lo:hi].toarray()
-        for j in range(hi - lo, bank):
-            blocks[i, j, j] = 1.0
+    blocks = bank_diagonal_blocks(sp.csr_matrix(A_host), bank)
     dtype = A_dev.dtype if A_dev is not None else default_dtype()
     inv = jnp.linalg.inv(jnp.asarray(blocks, dtype=dtype))
     return BlockJacobiP(inv_blocks=inv, n=n)
@@ -311,12 +322,7 @@ def _mas_precond(A_host, A_dev, params, block_size=1, **kw):
         nodes = -(-n_l // b)
         nb = -(-nodes // bank_nodes)
         s = bank_nodes * b
-        blocks = np.zeros((nb, s, s))
-        for i in range(nb):
-            lo, hi = i * s, min((i + 1) * s, n_l)
-            blocks[i, : hi - lo, : hi - lo] = A_l[lo:hi, lo:hi].toarray()
-            for j in range(hi - lo, s):
-                blocks[i, j, j] = 1.0
+        blocks = bank_diagonal_blocks(A_l, s)
         inv = jnp.linalg.inv(jnp.asarray(blocks, dtype=dtype))
         levels.append(SchwarzLevel(inv_blocks=inv, n=n_l, b=b, group=bank_nodes))
         if nb <= 1 or l == max_levels - 1:

@@ -55,9 +55,9 @@ def matmat(A: DeviceMatrix, X: jnp.ndarray) -> jnp.ndarray:
 
 
 def rmatvec(A: DeviceMatrix, y: jnp.ndarray) -> jnp.ndarray:
-    if isinstance(A, ELLMatrix):
-        return A.rmatvec(y)
-    raise NotImplementedError(f"rmatvec not implemented for {type(A).__name__}")
+    """x = Aᵀ @ y (least-squares paths — the reference's
+    Eigen::LeastSquaresConjugateGradient, Solver.cpp:444-451)."""
+    return A.rmatvec(y)
 
 
 def to_device_matrix(

@@ -185,6 +185,9 @@ class BlockELLMatrix:
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         return bell_matvec(self, x)
 
+    def rmatvec(self, y: jnp.ndarray) -> jnp.ndarray:
+        return bell_rmatvec(self, y)
+
     def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
         b = self.block_size
         nb = self.shape[1] // b
@@ -216,6 +219,18 @@ def bell_matvec(A: BlockELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     gathered = xb[A.bcols]                            # (nb_r, W, b)
     yb = jnp.einsum("rwij,rwj->ri", A.vals, gathered)
     return yb.reshape(-1)
+
+
+def bell_rmatvec(A: BlockELLMatrix, y: jnp.ndarray) -> jnp.ndarray:
+    """x = Aᵀ @ y via blockwise transpose + scatter-add (padding blocks are
+    all-zero, so their contributions vanish)."""
+    b = A.block_size
+    nbr = A.shape[0] // b
+    mb = A.shape[1] // b
+    yb = y.reshape(nbr, b)
+    contrib = jnp.einsum("rwij,ri->rwj", A.vals, yb)   # (nbr, W, b)
+    zb = jnp.zeros((mb, b), dtype=A.vals.dtype).at[A.bcols].add(contrib)
+    return zb.reshape(-1)
 
 
 def bell_from_scipy(A: sp.spmatrix, block_size: int, dtype=None) -> BlockELLMatrix:
@@ -296,6 +311,9 @@ class DIAMatrix:
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         return dia_matvec(self, x)
 
+    def rmatvec(self, y: jnp.ndarray) -> jnp.ndarray:
+        return dia_rmatvec(self, y)
+
     def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
         n = self.shape[0]
         L = max(0, -min(self.offsets))
@@ -322,6 +340,23 @@ def dia_matvec(A: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     for k, off in enumerate(A.offsets):
         y = y + A.vals[k] * jax.lax.slice_in_dim(xp, L + off, L + off + n)
     return y
+
+
+def dia_rmatvec(A: DIAMatrix, y: jnp.ndarray) -> jnp.ndarray:
+    """z = Aᵀ @ y. A[i, i+o] = vals[k, i] contributes vals[k, i]·y[i] to
+    z[i+o]; each diagonal is one statically-shifted axpy into a padded
+    accumulator (no gather/scatter — same streaming structure as dia_matvec)."""
+    n = A.shape[0]
+    L = max(0, -min(A.offsets))
+    R = max(0, max(A.offsets))
+    zp = jnp.zeros(n + L + R, dtype=jnp.result_type(A.vals.dtype, y.dtype))
+    for k, off in enumerate(A.offsets):
+        zp = jax.lax.dynamic_update_slice(
+            zp,
+            jax.lax.dynamic_slice(zp, (L + off,), (n,)) + A.vals[k] * y,
+            (L + off,),
+        )
+    return jax.lax.slice_in_dim(zp, L, L + n)
 
 
 def dia_from_scipy(A: sp.spmatrix, dtype=None, max_diags: int = 256) -> DIAMatrix:

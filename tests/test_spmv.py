@@ -122,3 +122,44 @@ def test_native_ell_pack_matches_numpy():
     A = sp.csr_matrix(poisson2d(110))  # n = 12100 > native threshold
     Ad = ell_from_scipy(A)  # uses native path (n >= 10000)
     assert abs(ell_to_scipy(Ad) - A).max() < 1e-14
+
+
+def test_dia_rmatvec(rng):
+    """Aᵀy via shifted axpys matches scipy for an asymmetric-band DIA."""
+    n = 64
+    A = sp.csr_matrix(
+        sp.diags([np.full(n - 2, 2.0), np.full(n, 5.0), np.full(n - 1, -1.0)],
+                 [-2, 0, 1])
+        + sp.coo_matrix(([3.5], ([0], [40])), shape=(n, n))  # asymmetric extra
+    )
+    Ad = dia_from_scipy(A)
+    y = rng.standard_normal(n)
+    assert np.allclose(np.asarray(rmatvec(Ad, jnp.asarray(y))), A.T @ y,
+                       atol=1e-12)
+
+
+def test_bell_rmatvec(rng):
+    A = sp.csr_matrix(elasticity_like(6, b=3))
+    Ad = bell_from_scipy(A, block_size=3)
+    y = rng.standard_normal(A.shape[0])
+    assert np.allclose(np.asarray(rmatvec(Ad, jnp.asarray(y))), A.T @ y,
+                       atol=1e-12)
+
+
+def test_bank_diagonal_blocks_vectorized(rng):
+    """Vectorized bank-diagonal extraction == per-bank dense slicing,
+    including the identity-padded tail bank."""
+    from polysolve_tpu.linear.preconditioners import bank_diagonal_blocks
+
+    n, s = 70, 16  # 5 banks, last bank 6 real + 10 identity rows
+    A = sp.csr_matrix(sp.random(n, n, density=0.2, random_state=3)
+                      + 5 * sp.identity(n))
+    blocks = bank_diagonal_blocks(A, s)
+    nb = -(-n // s)
+    assert blocks.shape == (nb, s, s)
+    Ad = A.toarray()
+    for i in range(nb):
+        lo, hi = i * s, min((i + 1) * s, n)
+        expect = np.eye(s)
+        expect[: hi - lo, : hi - lo] = Ad[lo:hi, lo:hi]
+        assert np.allclose(blocks[i], expect, atol=1e-14)
