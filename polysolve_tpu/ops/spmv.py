@@ -82,12 +82,18 @@ def to_device_matrix(
         return ell_from_scipy(A, dtype=dtype)
     if prefer == "dia":
         return dia_from_scipy(A, dtype=dtype, max_diags=10**9)
-    # auto scalar: probe diagonal count cheaply
-    rows, cols = A.nonzero()
-    diags = np.unique(cols.astype(np.int64) - rows.astype(np.int64))
+    # auto scalar: one shared diagonal analysis probes the format AND feeds
+    # the DIA build (no second pass over the nnz)
+    from polysolve_tpu.types import diag_analysis
+
+    A.sum_duplicates()
+    analysis = diag_analysis(A)
+    diags = analysis[1]
     n = A.shape[0]
-    if len(diags) <= dia_max_diags and A.nnz >= dia_fill_threshold * n * len(diags):
-        return dia_from_scipy(A, dtype=dtype, max_diags=dia_max_diags)
+    if 0 < len(diags) <= dia_max_diags and \
+            A.nnz >= dia_fill_threshold * n * len(diags):
+        return dia_from_scipy(A, dtype=dtype, max_diags=dia_max_diags,
+                              analysis=analysis)
     return ell_from_scipy(A, dtype=dtype)
 
 

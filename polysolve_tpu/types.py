@@ -359,18 +359,41 @@ def dia_rmatvec(A: DIAMatrix, y: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.slice_in_dim(zp, L, L + n)
 
 
-def dia_from_scipy(A: sp.spmatrix, dtype=None, max_diags: int = 256) -> DIAMatrix:
+def diag_analysis(A: sp.spmatrix):
+    """(coo, offsets, diag-index-per-entry) of a CSR/COO matrix. Bandwidth-
+    bounded bincount + lookup table instead of a sort-based ``np.unique`` —
+    the unique over all nnz dominated AMG setup time at 1M+ rows (it runs
+    once per level for the format probe and again for the DIA build)."""
+    C = A if sp.issparse(A) and A.format == "coo" else A.tocoo()
+    d = C.col.astype(np.int64) - C.row.astype(np.int64)
+    if len(d) == 0:
+        return C, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    dmin, dmax = int(d.min()), int(d.max())
+    span = dmax - dmin + 1
+    if span > (1 << 22):  # unbanded pattern: LUT too big, sort instead
+        offs, inv = np.unique(d, return_inverse=True)
+        return C, offs, inv
+    shifted = d - dmin
+    cnt = np.bincount(shifted, minlength=span)
+    offs = np.flatnonzero(cnt).astype(np.int64)
+    lut = np.zeros(span, dtype=np.int64)
+    lut[offs] = np.arange(len(offs))
+    return C, offs + dmin, lut[shifted]
+
+
+def dia_from_scipy(A: sp.spmatrix, dtype=None, max_diags: int = 256,
+                   analysis=None) -> DIAMatrix:
     """Convert to DIA. Raises if the pattern has more than ``max_diags``
     distinct diagonals (then ELL is the right format). Built with one
     vectorized scatter (scipy's ``todia`` is a per-diagonal loop and warns
-    above ~100 diagonals — the AMG coarse levels hit that every setup)."""
+    above ~100 diagonals — the AMG coarse levels hit that every setup).
+    ``analysis`` forwards a precomputed ``diag_analysis`` result (the format
+    probe in ``ops.spmv.to_device_matrix`` already ran one)."""
     dtype = dtype or default_dtype()
     A = sp.csr_matrix(A)
     A.sum_duplicates()
     n = A.shape[0]
-    C = A.tocoo()
-    d = C.col.astype(np.int64) - C.row.astype(np.int64)
-    offs, inv = np.unique(d, return_inverse=True)
+    C, offs, inv = analysis if analysis is not None else diag_analysis(A)
     if len(offs) > max_diags:
         raise ValueError(
             f"matrix has {len(offs)} diagonals > max_diags={max_diags}"
