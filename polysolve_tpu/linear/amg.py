@@ -242,11 +242,16 @@ class AMGHierarchy:
             aggregates.append((agg, n_agg))
             d = Al.diagonal()
             d = np.where(d != 0, d, 1.0)
-            # one ρ(D⁻¹A) power iteration per level, shared by the smoothed
-            # prolongator weight and the 4th-kind smoother bound
-            rho_da = _spectral_radius_host(sp.diags(1.0 / d) @ Al)
+            # D⁻¹A built once per level by direct CSR row scaling (a diag
+            # matmul copies the matrix twice per level), shared by the
+            # spectral-radius estimate, the smoothed prolongator, and the
+            # 4th-kind smoother bound
+            DA = Al.copy()
+            DA.data = DA.data / np.repeat(d, np.diff(Al.indptr))
+            rho_da = _spectral_radius_host(DA)
             P_tent, Bc = _tentative_prolongator(agg, n_agg, Bl)
-            P, w_used = _smooth_prolongator(Al, P_tent, omega, rho_da=rho_da)
+            P, w_used = _smooth_prolongator(Al, P_tent, omega, rho_da=rho_da,
+                                            DA=DA)
             R = sp.csr_matrix(P.T)
             Ac = sp.csr_matrix(R @ Al @ P)
             Ac.eliminate_zeros()
@@ -438,14 +443,17 @@ def _tentative_prolongator(agg: np.ndarray, n_agg: int, B: np.ndarray):
 
 
 def _smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
-                        omega: float, rho_da: Optional[float] = None):
+                        omega: float, rho_da: Optional[float] = None,
+                        DA: Optional[sp.csr_matrix] = None):
     """P = (I − ω/ρ(D⁻¹A) · D⁻¹A) · P_tent (Jacobi-smoothed prolongation).
     Returns (P, ω/ρ) — the weight is reused by the device-side structured
-    transfer, which must match this host P exactly."""
-    d = A.diagonal()
-    d = np.where(d != 0, d, 1.0)
-    Dinv = sp.diags(1.0 / d)
-    DA = sp.csr_matrix(Dinv @ A)
+    transfer, which must match this host P exactly. ``DA`` forwards a
+    precomputed D⁻¹A (setup already row-scaled one)."""
+    if DA is None:
+        d = A.diagonal()
+        d = np.where(d != 0, d, 1.0)
+        DA = A.copy()
+        DA.data = DA.data / np.repeat(d, np.diff(A.indptr))
     rho = rho_da if rho_da is not None else _spectral_radius_host(DA)
     w = omega / rho
     return sp.csr_matrix(P_tent - w * (DA @ P_tent)), w

@@ -302,6 +302,9 @@ def _amg_param_tree() -> Dict[str, Any]:
         "power_iters": leaf_i(20),
         "ncycle": leaf_i(1),              # 1 = V-cycle, 2 = W-cycle (AMGCL ncycle)
         "omega": leaf_f(4.0 / 3.0),       # prolongator smoothing weight / rho
+        # gather-free box transfers when the pattern is a detected grid
+        # stencil (amg.py _detect_grid); off forces algebraic aggregation
+        "structured": {"type": "bool", "default": True},
     }
 
 
