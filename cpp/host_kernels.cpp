@@ -19,6 +19,7 @@
 #include <cstring>
 #include <queue>
 #include <random>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -631,3 +632,211 @@ int64_t kway_partition(const int64_t* indptr, const int32_t* indices,
 
 }  // extern "C"
 
+
+// ============================================================================
+// Sparse matrix products for the AMG setup phase (the role AMGCL's built-in
+// spgemm plays in the reference — AMGCL.cpp:148-184 rebuilds the hierarchy
+// every factorize; scipy's single-threaded csr_matmat dominated our setup
+// profile at 1M+ rows). Gustavson row-merge with stamp markers, row-parallel
+// across threads. Results are staged in per-thread buffers and copied out via
+// spgemm_fetch (two-call ctypes pattern — nnz(C) is unknown up front).
+// ============================================================================
+
+namespace {
+
+struct SpgemmOut {
+  std::vector<int64_t> rownnz;
+  std::vector<int32_t> idx;
+  std::vector<double> val;
+};
+
+// C rows [r0, r1) of  beta*S + alpha*A@B  (S optional, may be null).
+void spgemm_rows(const int64_t* ipA, const int32_t* jA, const double* vA,
+                 int64_t r0, int64_t r1, const int64_t* ipB,
+                 const int32_t* jB, const double* vB, int64_t ncols,
+                 double alpha, const int64_t* ipS, const int32_t* jS,
+                 const double* vS, double beta, SpgemmOut* out) {
+  std::vector<int64_t> marker(ncols, -1);
+  std::vector<int64_t> pos(ncols);
+  std::vector<std::pair<int32_t, double>> rowbuf;
+  out->rownnz.assign(static_cast<size_t>(r1 - r0), 0);
+  out->idx.clear();
+  out->val.clear();
+  // rough reserve: flops of the first row extrapolated, clamped
+  out->idx.reserve(static_cast<size_t>((r1 - r0) * 8));
+  out->val.reserve(static_cast<size_t>((r1 - r0) * 8));
+  for (int64_t i = r0; i < r1; ++i) {
+    const size_t rowstart = out->idx.size();
+    if (ipS) {
+      for (int64_t p = ipS[i]; p < ipS[i + 1]; ++p) {
+        const int32_t c = jS[p];
+        marker[c] = i;
+        pos[c] = static_cast<int64_t>(out->idx.size());
+        out->idx.push_back(c);
+        out->val.push_back(beta * vS[p]);
+      }
+    }
+    for (int64_t p = ipA[i]; p < ipA[i + 1]; ++p) {
+      const int32_t a = jA[p];
+      const double av = alpha * vA[p];
+      for (int64_t q = ipB[a]; q < ipB[a + 1]; ++q) {
+        const int32_t c = jB[q];
+        if (marker[c] != i) {
+          marker[c] = i;
+          pos[c] = static_cast<int64_t>(out->idx.size());
+          out->idx.push_back(c);
+          out->val.push_back(av * vB[q]);
+        } else {
+          out->val[static_cast<size_t>(pos[c])] += av * vB[q];
+        }
+      }
+    }
+    const size_t rn = out->idx.size() - rowstart;
+    if (rn > 1) {  // sorted columns: scipy downstream assumes canonical CSR
+      rowbuf.resize(rn);
+      for (size_t t = 0; t < rn; ++t)
+        rowbuf[t] = {out->idx[rowstart + t], out->val[rowstart + t]};
+      std::sort(rowbuf.begin(), rowbuf.end(),
+                [](const std::pair<int32_t, double>& x,
+                   const std::pair<int32_t, double>& y) {
+                  return x.first < y.first;
+                });
+      for (size_t t = 0; t < rn; ++t) {
+        out->idx[rowstart + t] = rowbuf[t].first;
+        out->val[rowstart + t] = rowbuf[t].second;
+      }
+    }
+    out->rownnz[static_cast<size_t>(i - r0)] = static_cast<int64_t>(rn);
+  }
+}
+
+constexpr int kSpgemmMaxThreads = 8;
+SpgemmOut g_spgemm_out[kSpgemmMaxThreads];
+int g_spgemm_nt = 0;
+
+}  // namespace
+
+extern "C" {
+
+// C = beta*S + alpha*A(m×·)@B(·×ncolsB). Pass ipS=nullptr to skip the S
+// term. Writes indptrC (m+1); returns nnz(C) (fetch with spgemm_fetch) or -1.
+int64_t spgemm_axpby(const int64_t* indptrA, const int32_t* indicesA,
+                     const double* dataA, int64_t m, const int64_t* indptrB,
+                     const int32_t* indicesB, const double* dataB,
+                     int64_t ncolsB, double alpha, const int64_t* indptrS,
+                     const int32_t* indicesS, const double* dataS, double beta,
+                     int64_t* indptrC) {
+  if (m < 0 || ncolsB < 0) return -1;
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = static_cast<int>(std::min<unsigned>(hw ? hw : 1, kSpgemmMaxThreads));
+  if (m < 65536) nt = 1;  // marker alloc + spawn not worth it on small mats
+  g_spgemm_nt = nt;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t r0 = m * t / nt, r1 = m * (t + 1) / nt;
+    if (t == nt - 1) {
+      spgemm_rows(indptrA, indicesA, dataA, r0, r1, indptrB, indicesB, dataB,
+                  ncolsB, alpha, indptrS, indicesS, dataS, beta,
+                  &g_spgemm_out[t]);
+    } else {
+      pool.emplace_back(spgemm_rows, indptrA, indicesA, dataA, r0, r1,
+                        indptrB, indicesB, dataB, ncolsB, alpha, indptrS,
+                        indicesS, dataS, beta, &g_spgemm_out[t]);
+    }
+  }
+  for (auto& th : pool) th.join();
+  indptrC[0] = 0;
+  int64_t at = 0;
+  for (int t = 0; t < nt; ++t) {
+    for (int64_t r : g_spgemm_out[t].rownnz) {
+      indptrC[at + 1] = indptrC[at] + r;
+      ++at;
+    }
+  }
+  return indptrC[m];
+}
+
+int64_t spgemm(const int64_t* indptrA, const int32_t* indicesA,
+               const double* dataA, int64_t m, const int64_t* indptrB,
+               const int32_t* indicesB, const double* dataB, int64_t ncolsB,
+               int64_t* indptrC) {
+  return spgemm_axpby(indptrA, indicesA, dataA, m, indptrB, indicesB, dataB,
+                      ncolsB, 1.0, nullptr, nullptr, nullptr, 0.0, indptrC);
+}
+
+// Copy the staged result of the last spgemm/spgemm_axpby call.
+int spgemm_fetch(int32_t* indicesC, double* dataC) {
+  if (g_spgemm_nt <= 0) return -1;
+  size_t at = 0;
+  for (int t = 0; t < g_spgemm_nt; ++t) {
+    const SpgemmOut& o = g_spgemm_out[t];
+    std::memcpy(indicesC + at, o.idx.data(), o.idx.size() * sizeof(int32_t));
+    std::memcpy(dataC + at, o.val.data(), o.val.size() * sizeof(double));
+    at += o.idx.size();
+    g_spgemm_out[t] = SpgemmOut();  // release staging memory
+  }
+  g_spgemm_nt = 0;
+  return 0;
+}
+
+// B = Aᵀ for CSR A (m×ncols): counting sort on columns; output rows come out
+// with sorted (row-index) columns. Caller allocates indptrB (ncols+1),
+// indicesB/dataB (nnz).
+int csr_transpose(const int64_t* indptr, const int32_t* indices,
+                  const double* data, int64_t m, int64_t ncols,
+                  int64_t* indptrB, int32_t* indicesB, double* dataB) {
+  const int64_t nnz = indptr[m];
+  std::vector<int64_t> head(static_cast<size_t>(ncols) + 1, 0);
+  for (int64_t p = 0; p < nnz; ++p) ++head[static_cast<size_t>(indices[p]) + 1];
+  for (int64_t c = 0; c < ncols; ++c) head[c + 1] += head[c];
+  std::memcpy(indptrB, head.data(), (static_cast<size_t>(ncols) + 1) * sizeof(int64_t));
+  for (int64_t i = 0; i < m; ++i) {
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int64_t dst = head[indices[p]]++;
+      indicesB[dst] = static_cast<int32_t>(i);
+      dataB[dst] = data[p];
+    }
+  }
+  return 0;
+}
+
+// --------------------------------------------------------------------------
+// DIA packing (the device stencil fast path). dia_analyze marks the distinct
+// diagonals straight off CSR (no COO materialization); returns K, or -1 when
+// K would exceed cap (the ELL-fallback probe). csr_to_dia scatters values
+// into the diag-major (K, n) layout; vals must arrive zero-initialized.
+// --------------------------------------------------------------------------
+int64_t dia_analyze(const int64_t* indptr, const int32_t* indices, int64_t n,
+                    int64_t cap, int64_t* offs_out) {
+  if (n <= 0) return 0;
+  std::vector<uint8_t> seen(static_cast<size_t>(2 * n - 1), 0);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      seen[static_cast<size_t>(indices[p] - i + n - 1)] = 1;
+  int64_t k = 0;
+  for (int64_t s = 0; s < 2 * n - 1; ++s) {
+    if (seen[s]) {
+      if (k >= cap) return -1;
+      offs_out[k++] = s - (n - 1);
+    }
+  }
+  return k;
+}
+
+int csr_to_dia(const int64_t* indptr, const int32_t* indices,
+               const double* data, int64_t n, const int64_t* offs, int64_t K,
+               double* vals) {
+  std::vector<int32_t> lut(static_cast<size_t>(2 * n - 1), -1);
+  for (int64_t k = 0; k < K; ++k)
+    lut[static_cast<size_t>(offs[k] + n - 1)] = static_cast<int32_t>(k);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int32_t k = lut[static_cast<size_t>(indices[p] - i + n - 1)];
+      if (k < 0) return -1;
+      vals[static_cast<int64_t>(k) * n + i] += data[p];
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from polysolve_tpu import ops
+from polysolve_tpu import native, ops
 from polysolve_tpu.types import default_dtype, ell_from_scipy
 
 
@@ -252,8 +252,15 @@ class AMGHierarchy:
             P_tent, Bc = _tentative_prolongator(agg, n_agg, Bl)
             P, w_used = _smooth_prolongator(Al, P_tent, omega, rho_da=rho_da,
                                             DA=DA)
-            R = sp.csr_matrix(P.T)
-            Ac = sp.csr_matrix(R @ Al @ P)
+            R = native.csr_transpose(P)
+            if R is None:
+                R = sp.csr_matrix(P.T)
+            # Galerkin RAP via the native threaded SpGEMM (scipy's
+            # csr_matmat is single-threaded two-pass and dominated setup)
+            AP = native.spgemm(Al, P)
+            Ac = native.spgemm(R, AP) if AP is not None else None
+            if Ac is None:
+                Ac = sp.csr_matrix(R @ Al @ P)
             Ac.eliminate_zeros()
 
             A_dev = ops.to_device_matrix(
@@ -456,7 +463,10 @@ def _smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
         DA.data = DA.data / np.repeat(d, np.diff(A.indptr))
     rho = rho_da if rho_da is not None else _spectral_radius_host(DA)
     w = omega / rho
-    return sp.csr_matrix(P_tent - w * (DA @ P_tent)), w
+    P = native.spgemm(DA, P_tent, alpha=-w, S=P_tent, beta=1.0)
+    if P is None:
+        P = sp.csr_matrix(P_tent - w * (DA @ P_tent))
+    return P, w
 
 
 def _detect_grid(A: sp.csr_matrix):

@@ -76,6 +76,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.kway_partition.restype = ctypes.c_int64
     lib.kway_partition.argtypes = [_i64p, _i32p, _i64p, ctypes.c_int64,
                                    ctypes.c_int64, _i32p]
+    lib.spgemm.restype = ctypes.c_int64
+    lib.spgemm.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
+                           _i64p, _i32p, _f64p, ctypes.c_int64, _i64p]
+    lib.spgemm_axpby.restype = ctypes.c_int64
+    lib.spgemm_axpby.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
+                                 _i64p, _i32p, _f64p, ctypes.c_int64,
+                                 ctypes.c_double, _i64p, _i32p, _f64p,
+                                 ctypes.c_double, _i64p]
+    lib.spgemm_fetch.restype = ctypes.c_int
+    lib.spgemm_fetch.argtypes = [_i32p, _f64p]
+    lib.csr_transpose.restype = ctypes.c_int
+    lib.csr_transpose.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
+                                  ctypes.c_int64, _i64p, _i32p, _f64p]
+    lib.dia_analyze.restype = ctypes.c_int64
+    lib.dia_analyze.argtypes = [_i64p, _i32p, ctypes.c_int64, ctypes.c_int64,
+                                _i64p]
+    lib.csr_to_dia.restype = ctypes.c_int
+    lib.csr_to_dia.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64, _i64p,
+                               ctypes.c_int64, _f64p]
     _LIB = lib
     return _LIB
 
@@ -192,6 +211,94 @@ def kway_partition(A, k: int, weights: Optional[np.ndarray] = None
     if got <= 0:
         return None
     return part
+
+
+def _csr_full(A):
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    return indptr, indices, data
+
+
+def spgemm(A, B, alpha: float = 1.0, S=None, beta: float = 1.0):
+    """Native C = beta·S + alpha·A@B (Gustavson, row-parallel threads — the
+    AMG setup's Galerkin/smoothing products; scipy's csr_matmat is
+    single-threaded and two-pass). Returns scipy CSR or None if unavailable.
+    ``S`` (optional) must be CSR with A's row count."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    ipA, jA, vA = _csr_full(A)
+    ipB, jB, vB = _csr_full(B)
+    m, ncolsB = A.shape[0], B.shape[1]
+    ipC = np.empty(m + 1, dtype=np.int64)
+    if S is None:
+        nnz = lib.spgemm(ipA, jA, vA, m, ipB, jB, vB, ncolsB, ipC)
+    else:
+        ipS, jS, vS = _csr_full(S)
+        nnz = lib.spgemm_axpby(ipA, jA, vA, m, ipB, jB, vB, ncolsB,
+                               float(alpha), ipS, jS, vS, float(beta), ipC)
+    if nnz < 0:
+        return None
+    jC = np.empty(nnz, dtype=np.int32)
+    vC = np.empty(nnz, dtype=np.float64)
+    lib.spgemm_fetch(jC, vC)
+    C = sp.csr_matrix((vC, jC, ipC), shape=(m, ncolsB))
+    C.has_sorted_indices = True  # spgemm_rows sorts each row
+    return C
+
+
+def csr_transpose(A):
+    """Native Aᵀ as CSR (counting sort; scipy's .T.tocsr() at 1M+ rows was a
+    visible slice of AMG setup). Returns scipy CSR or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    ip, j, v = _csr_full(A)
+    m, ncols = A.shape
+    ipT = np.empty(ncols + 1, dtype=np.int64)
+    jT = np.empty(A.nnz, dtype=np.int32)
+    vT = np.empty(A.nnz, dtype=np.float64)
+    if lib.csr_transpose(ip, j, v, m, ncols, ipT, jT, vT) != 0:
+        return None
+    T = sp.csr_matrix((vT, jT, ipT), shape=(ncols, m))
+    T.has_sorted_indices = True
+    return T
+
+
+def dia_analyze(A, cap: int):
+    """Distinct diagonal offsets of square CSR ``A`` straight off the index
+    arrays (no COO materialization). Returns int64 offsets array, -1 if the
+    count exceeds ``cap`` (caller should fall back to ELL), or None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices = _csr_arrays(A)
+    offs = np.empty(max(int(cap), 1), dtype=np.int64)
+    k = lib.dia_analyze(indptr, indices, A.shape[0], int(cap), offs)
+    if k < 0:
+        return -1
+    return offs[:k].copy()
+
+
+def csr_to_dia(A, offs: np.ndarray) -> Optional[np.ndarray]:
+    """Scatter CSR values into diag-major (K, n) float64 storage for the
+    given offsets (from ``dia_analyze``). Returns the array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ip, j, v = _csr_full(A)
+    n = A.shape[0]
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    vals = np.zeros((len(offs), n), dtype=np.float64)
+    if lib.csr_to_dia(ip, j, v, n, offs, len(offs), vals) != 0:
+        return None
+    return vals
 
 
 def csr_bandwidth(A) -> Optional[int]:

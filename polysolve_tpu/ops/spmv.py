@@ -84,12 +84,26 @@ def to_device_matrix(
         return dia_from_scipy(A, dtype=dtype, max_diags=10**9)
     # auto scalar: one shared diagonal analysis probes the format AND feeds
     # the DIA build (no second pass over the nnz)
-    from polysolve_tpu.types import diag_analysis
+    from polysolve_tpu import native
+    from polysolve_tpu.types import DIAMatrix, default_dtype, diag_analysis
 
     A.sum_duplicates()
+    n = A.shape[0]
+    offs = native.dia_analyze(A, dia_max_diags)
+    if offs is not None:
+        # native probe: straight off the CSR index arrays; -1 ⇒ > cap ⇒ ELL
+        if not np.isscalar(offs) and 0 < len(offs) and \
+                A.nnz >= dia_fill_threshold * n * len(offs):
+            vals = native.csr_to_dia(A, offs)
+            if vals is not None:
+                return DIAMatrix(
+                    vals=jnp.asarray(vals, dtype=dtype or default_dtype()),
+                    offsets=tuple(int(o) for o in offs),
+                    shape=(n, n), nnz=int(A.nnz),
+                )
+        return ell_from_scipy(A, dtype=dtype)
     analysis = diag_analysis(A)
     diags = analysis[1]
-    n = A.shape[0]
     if 0 < len(diags) <= dia_max_diags and \
             A.nnz >= dia_fill_threshold * n * len(diags):
         return dia_from_scipy(A, dtype=dtype, max_diags=dia_max_diags,
