@@ -73,8 +73,11 @@ class AMGState:
     ncycle: int = struct.field(pytree_node=False)
 
 
-def _chebyshev(A, theta, delta, degree: int, r):
-    """z ≈ A⁻¹ r by degree-d 1st-kind Chebyshev on [θ−δ, θ+δ] (zero guess)."""
+def chebyshev1(A, theta, delta, degree: int, r):
+    """z ≈ A⁻¹ r by degree-d 1st-kind Chebyshev on [θ−δ, θ+δ] (zero guess).
+
+    The single canonical copy — the standalone Chebyshev preconditioner
+    (preconditioners.ChebyshevP) applies this same recurrence."""
     sigma = theta / delta
     rho = 1.0 / sigma
     d = r / theta
@@ -110,7 +113,7 @@ def _chebyshev4(A, Dinv, rho, degree: int, b):
 def _smooth(lev: "AMGLevel", r):
     if lev.smoother == "cheb4":
         return _chebyshev4(lev.A, lev.Dinv, lev.rho_da, lev.degree, r)
-    return _chebyshev(lev.A, lev.theta, lev.delta, lev.degree, r)
+    return chebyshev1(lev.A, lev.theta, lev.delta, lev.degree, r)
 
 
 def _t_apply(grid, xc: jnp.ndarray) -> jnp.ndarray:

@@ -112,6 +112,7 @@ class KrylovSolver(Solver):
         self.mesh = None
         self._iters = 0
         self._error = 0.0
+        self._converged = False
 
     # ------------------------------------------------------------------ #
 
@@ -189,10 +190,11 @@ class KrylovSolver(Solver):
         X0 = (np.zeros_like(B) if x is None
               else np.asarray(x, dtype=np.float64).reshape(B.shape))
         refine = self._use_df64_refinement(dtype)
-        cols, iters_total, err_max = [], 0, 0.0
+        cols, iters_total, err_max, conv_all = [], 0, 0.0, True
         for j in range(B.shape[1]):
             if refine:
                 xj, it, err = self._solve_refined(B[:, j], X0[:, j], dtype)
+                conv = err <= self._tol()
             else:
                 res = _run_krylov(
                     self.driver, self.A_dev, self.pstate,
@@ -205,10 +207,12 @@ class KrylovSolver(Solver):
                 )
                 xj, it, err = (np.asarray(res.x, dtype=np.float64),
                                int(res.iterations), float(res.error))
+                conv = bool(res.converged)
             cols.append(xj)
             iters_total = max(iters_total, it)
             err_max = max(err_max, err)
-        self._iters, self._error = iters_total, err_max
+            conv_all = conv_all and conv
+        self._iters, self._error, self._converged = iters_total, err_max, conv_all
         out = np.stack(cols, axis=1)
         return out[:, 0] if squeeze else out
 
@@ -279,12 +283,9 @@ class KrylovSolver(Solver):
             "solver_error": self._error,
             "num_iterations": self._iters,
             "final_res_norm": self._error,
-            # converged == the loop exited on the residual test, not on the
-            # iteration cap or a breakdown (error is the relative residual)
-            "converged": bool(np.isfinite(self._error)
-                              and (self._error <= self._tol()
-                                   or (self._iters < self._max_iter()
-                                       and self._error < 1.0))),
+            # the loop's actual exit reason (KrylovResult.converged): True iff
+            # it exited on its own residual test, not the cap or a breakdown
+            "converged": bool(self._converged and np.isfinite(self._error)),
         }
 
 

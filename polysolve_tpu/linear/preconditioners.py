@@ -198,19 +198,11 @@ def estimate_spectral_radius(A_dev, n: int, iters: int = 20, seed: int = 0,
 
 
 def _chebyshev_apply(state: ChebyshevP, r: jnp.ndarray) -> jnp.ndarray:
-    """Degree-d Chebyshev approximation of A⁻¹ on [α, β] (three-term
-    recurrence; only SpMVs and axpys — embarrassingly TPU-friendly)."""
-    theta, delta = state.theta, state.delta
-    sigma = theta / delta
-    rho = 1.0 / sigma
-    d = r / theta
-    z = d
-    for _ in range(state.degree - 1):
-        rho_new = 1.0 / (2.0 * sigma - rho)
-        d = rho_new * rho * d + (2.0 * rho_new / delta) * (r - ops.matvec(state.A, z))
-        z = z + d
-        rho = rho_new
-    return z
+    """Degree-d Chebyshev approximation of A⁻¹ on [α, β] — delegates to the
+    canonical recurrence in amg.chebyshev1 (single copy, VERDICT r1 weak #9)."""
+    from polysolve_tpu.linear.amg import chebyshev1
+
+    return chebyshev1(state.A, state.theta, state.delta, state.degree, r)
 
 
 @register("Chebyshev")

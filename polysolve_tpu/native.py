@@ -16,6 +16,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -38,8 +39,8 @@ def _build() -> bool:
     os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _SO_PATH],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-std=c++17", _SRC, "-o", _SO_PATH],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -220,6 +221,9 @@ def _csr_full(A):
     return indptr, indices, data
 
 
+_SPGEMM_LOCK = threading.Lock()
+
+
 def spgemm(A, B, alpha: float = 1.0, S=None, beta: float = 1.0):
     """Native C = beta·S + alpha·A@B (Gustavson, row-parallel threads — the
     AMG setup's Galerkin/smoothing products; scipy's csr_matmat is
@@ -234,17 +238,23 @@ def spgemm(A, B, alpha: float = 1.0, S=None, beta: float = 1.0):
     ipB, jB, vB = _csr_full(B)
     m, ncolsB = A.shape[0], B.shape[1]
     ipC = np.empty(m + 1, dtype=np.int64)
-    if S is None:
-        nnz = lib.spgemm(ipA, jA, vA, m, ipB, jB, vB, ncolsB, ipC)
-    else:
-        ipS, jS, vS = _csr_full(S)
-        nnz = lib.spgemm_axpby(ipA, jA, vA, m, ipB, jB, vB, ncolsB,
-                               float(alpha), ipS, jS, vS, float(beta), ipC)
-    if nnz < 0:
-        return None
-    jC = np.empty(nnz, dtype=np.int32)
-    vC = np.empty(nnz, dtype=np.float64)
-    lib.spgemm_fetch(jC, vC)
+    if S is None and alpha != 1.0:
+        # the S-less C entry point hardcodes alpha=1 — fold alpha into A
+        vA = vA * float(alpha)
+    # compute and fetch stage through process-global buffers in the C library;
+    # serialize the pair so concurrent Python threads can't interleave them
+    with _SPGEMM_LOCK:
+        if S is None:
+            nnz = lib.spgemm(ipA, jA, vA, m, ipB, jB, vB, ncolsB, ipC)
+        else:
+            ipS, jS, vS = _csr_full(S)
+            nnz = lib.spgemm_axpby(ipA, jA, vA, m, ipB, jB, vB, ncolsB,
+                                   float(alpha), ipS, jS, vS, float(beta), ipC)
+        if nnz < 0:
+            return None
+        jC = np.empty(nnz, dtype=np.int32)
+        vC = np.empty(nnz, dtype=np.float64)
+        lib.spgemm_fetch(jC, vC)
     C = sp.csr_matrix((vC, jC, ipC), shape=(m, ncolsB))
     C.has_sorted_indices = True  # spgemm_rows sorts each row
     return C
@@ -275,6 +285,10 @@ def dia_analyze(A, cap: int):
     arrays (no COO materialization). Returns int64 offsets array, -1 if the
     count exceeds ``cap`` (caller should fall back to ELL), or None if the
     native library is unavailable."""
+    if A.shape[0] != A.shape[1]:
+        # the C kernel sizes its diagonal LUT as 2n-1 from the row count; a
+        # wider rectangular matrix would index out of bounds (ADVICE r1)
+        return None
     lib = get_lib()
     if lib is None:
         return None
@@ -289,6 +303,8 @@ def dia_analyze(A, cap: int):
 def csr_to_dia(A, offs: np.ndarray) -> Optional[np.ndarray]:
     """Scatter CSR values into diag-major (K, n) float64 storage for the
     given offsets (from ``dia_analyze``). Returns the array or None."""
+    if A.shape[0] != A.shape[1]:
+        return None
     lib = get_lib()
     if lib is None:
         return None

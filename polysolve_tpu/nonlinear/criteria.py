@@ -44,10 +44,13 @@ class Status(enum.Enum):
 
 
 _SUCCESS = {
+    # reference is_converged_status (Criteria.cpp:10-13); FirstGradNorm is the
+    # iteration-0 spelling of GradNormTolerance, ObjectiveCustomStop is a
+    # user-requested stop the reference logs as success in the driver.
     Status.X_DELTA_TOLERANCE, Status.F_DELTA_TOLERANCE,
     Status.GRAD_NORM_TOLERANCE, Status.FIRST_GRAD_NORM_TOLERANCE,
     Status.REL_X_DELTA_TOLERANCE, Status.REL_GRAD_NORM_TOLERANCE,
-    Status.NEWTON_DECREMENT_TOLERANCE, Status.X_DELTA_DOT_GRAD_TOLERANCE,
+    Status.NEWTON_DECREMENT_TOLERANCE,
     Status.OBJECTIVE_CUSTOM_STOP,
 }
 _FAILURE = {
@@ -92,31 +95,37 @@ class Criteria:
 
 def check_convergence(state: Criteria, stop: Criteria,
                       fdelta_count_required: int = 0) -> Status:
-    """Precedence-ordered convergence test (reference Criteria.cpp:52-89)."""
-    if stop.iterations > 0 and state.iterations >= stop.iterations:
+    """Precedence-ordered convergence test (reference Criteria.cpp:52-89).
+
+    Fields the driver has not measured yet are NaN; every comparison below is
+    False for NaN, matching the reference's NaN-out-then-compare protocol
+    (Solver.cpp:339-343). The iteration limit uses the reference's strict
+    ``>`` (Criteria.cpp:54); the driver separately sets IterationLimit at the
+    loop bottom with ``++iterations >= limit`` (Solver.cpp:528-529).
+    ``f_delta_count`` is maintained by the driver (Solver.cpp:522), not here.
+    """
+    if stop.iterations > 0 and state.iterations > stop.iterations:
         return Status.ITERATION_LIMIT
-    if state.iterations == 0:
-        # before the first step only the (tighter) first-gradient test applies
-        if stop.first_grad_norm > 0 and state.grad_norm < stop.first_grad_norm:
-            return Status.FIRST_GRAD_NORM_TOLERANCE
-        return Status.CONTINUE
-    if stop.grad_norm > 0 and state.grad_norm < stop.grad_norm:
-        return Status.GRAD_NORM_TOLERANCE
-    if stop.rel_x_delta > 0 and 0 < state.rel_x_delta < stop.rel_x_delta:
+    # gradient test: the (tighter) first_grad_norm threshold applies before
+    # the first step (Criteria.cpp:58-62); reference returns GradNormTolerance
+    # for both — we keep a distinct spelling for iteration 0, same semantics.
+    grad_tol = stop.first_grad_norm if state.iterations == 0 else stop.grad_norm
+    if grad_tol > 0 and state.grad_norm < grad_tol:
+        return (Status.FIRST_GRAD_NORM_TOLERANCE if state.iterations == 0
+                else Status.GRAD_NORM_TOLERANCE)
+    if stop.rel_x_delta > 0 and state.rel_x_delta < stop.rel_x_delta:
         return Status.REL_X_DELTA_TOLERANCE
     if stop.rel_grad_norm > 0 and state.rel_grad_norm < stop.rel_grad_norm:
         return Status.REL_GRAD_NORM_TOLERANCE
-    if stop.newton_decrement > 0 and 0 < state.newton_decrement < stop.newton_decrement:
+    if stop.newton_decrement > 0 and state.newton_decrement < stop.newton_decrement:
         return Status.NEWTON_DECREMENT_TOLERANCE
-    if stop.x_delta > 0 and 0 < state.x_delta < stop.x_delta:
+    if stop.x_delta > 0 and state.x_delta < stop.x_delta:
         return Status.X_DELTA_TOLERANCE
-    if stop.f_delta > 0 and 0 < abs(state.f_delta) < stop.f_delta:
-        state.f_delta_count += 1
-        if state.f_delta_count >= fdelta_count_required:
-            return Status.F_DELTA_TOLERANCE
-    else:
-        state.f_delta_count = 0
+    if stop.f_delta > 0 and state.f_delta < stop.f_delta and \
+            state.f_delta_count >= fdelta_count_required:
+        return Status.F_DELTA_TOLERANCE
+    # Δx·∇f > -tol means the direction is (numerically) no longer a descent
+    # direction (reference Criteria.cpp:83-88).
     if stop.x_delta_dot_grad < 0 and state.x_delta_dot_grad > stop.x_delta_dot_grad:
-        # direction no longer correlated with descent (reference: ≥ 0 check)
-        pass
+        return Status.NOT_DESCENT_DIRECTION
     return Status.CONTINUE

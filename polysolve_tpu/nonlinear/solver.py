@@ -256,6 +256,10 @@ class Solver:
             rel_x_delta=float(p.get("rel_x_delta", 0.0)),
             rel_grad_norm=float(p.get("relative_gradient", 1e-10)),
             newton_decrement=float(p.get("newton_decrement", 0.0)) * L,
+            # reference Solver.cpp:211: stop.xDeltaDotGrad =
+            # -advanced/derivative_along_delta_x_tol (rescaled, Solver.hpp:117)
+            x_delta_dot_grad=-float(
+                p.get("advanced", {}).get("derivative_along_delta_x_tol", 0.0)) * L,
         )
 
     def _reset(self, ndof: int) -> None:
@@ -263,6 +267,7 @@ class Solver:
         self.status = Status.CONTINUE
         self._descent_strategy = 0
         self._strategy_success_streak = 0
+        self._initial_x_delta = None
         for s in self.strategies:
             s.reset(ndof)
         self.timings = PhaseTimings()
@@ -350,7 +355,14 @@ class Solver:
             self.current.rel_grad_norm = grad_norm / max(
                 self.current.first_grad_norm, 1e-300)
 
-            # -- convergence check #1, before the direction (:322-346)
+            # -- convergence check #1, before the direction (:322-346).
+            # Direction-dependent fields are NaN'd so only gradient tests can
+            # fire here ("avoid impossible linear solves", Solver.cpp:339-343).
+            nan = float("nan")
+            self.current.x_delta = nan
+            self.current.x_delta_dot_grad = nan
+            self.current.rel_x_delta = nan
+            self.current.newton_decrement = nan
             self.status = check_convergence(self.current, self.stop,
                                             self.f_delta_step_tol)
             if self.status != Status.CONTINUE:
@@ -362,9 +374,18 @@ class Solver:
 
             bad = direction is None or not np.all(np.isfinite(direction))
             if not bad:
+                # xDelta = unscaled step norm, computed right after the
+                # direction (reference Solver.cpp:356-365); relXDelta is
+                # relative to the FIRST iteration's step norm.
+                self.current.x_delta = float(np.linalg.norm(direction))
+                if self._initial_x_delta is None:
+                    self._initial_x_delta = self.current.x_delta
+                self.current.rel_x_delta = self.current.x_delta / max(
+                    self._initial_x_delta, 1e-300)
                 self.current.x_delta_dot_grad = float(direction @ grad)
-                # non-descent rejection only for strategies that promise descent
-                if strategy.is_direction_descent() and \
+                # non-descent rejection only for strategies that promise
+                # descent (Solver.cpp:405: also requires gradNorm != 0)
+                if strategy.is_direction_descent() and grad_norm != 0 and \
                         self.current.x_delta_dot_grad >= 0:
                     bad = True
             if bad:
@@ -415,10 +436,13 @@ class Solver:
                 problem.solution_changed(new_x)
             new_energy = problem.value(new_x)
 
-            self.current.x_delta = rate * np.linalg.norm(direction)
-            self.current.rel_x_delta = self.current.x_delta / max(
-                np.linalg.norm(new_x), 1e-300)
+            # fDelta counting happens at the loop bottom (Solver.cpp:522);
+            # xDelta stays the unscaled direction norm set above.
             self.current.f_delta = abs(new_energy - energy)
+            self.current.f_delta_count = (
+                self.current.f_delta_count + 1
+                if self.stop.f_delta > 0 and self.current.f_delta < self.stop.f_delta
+                else 0)
             x = new_x
             strategy.update_solution(x, grad)
 
@@ -444,6 +468,12 @@ class Solver:
                 break
             if not problem.callback(self.current, x):
                 self.status = Status.OBJECTIVE_CUSTOM_STOP
+                break
+            # -- iteration budget, set at the loop bottom with >= after the
+            #    increment (reference Solver.cpp:528-529)
+            if self.stop.iterations > 0 and \
+                    self.current.iterations >= self.stop.iterations:
+                self.status = Status.ITERATION_LIMIT
                 break
 
         # -- post-loop status handling (:538-539)

@@ -89,6 +89,8 @@ def to_device_matrix(
 
     A.sum_duplicates()
     n = A.shape[0]
+    if A.shape[0] != A.shape[1]:
+        return ell_from_scipy(A, dtype=dtype)  # DIA is square-only
     offs = native.dia_analyze(A, dia_max_diags)
     if offs is not None:
         # native probe: straight off the CSR index arrays; -1 ⇒ > cap ⇒ ELL

@@ -163,3 +163,40 @@ def test_bank_diagonal_blocks_vectorized(rng):
         expect = np.eye(s)
         expect[: hi - lo, : hi - lo] = Ad[lo:hi, lo:hi]
         assert np.allclose(blocks[i], expect, atol=1e-14)
+
+
+def test_to_device_matrix_rectangular_safe():
+    """Rectangular input must not hit the square-only DIA probe
+    (ADVICE r1: dia_analyze sized its LUT from the row count only — a 10x100
+    CSR corrupted the heap). Auto-dispatch lands on ELL and matvec matches."""
+    import numpy as np
+    import scipy.sparse as sp
+    from polysolve_tpu import ops
+    from polysolve_tpu.types import ELLMatrix
+
+    rng = np.random.default_rng(0)
+    A = sp.random(10, 100, density=0.2, random_state=rng, format="csr")
+    M = ops.to_device_matrix(A)
+    assert isinstance(M, ELLMatrix)
+    x = rng.standard_normal(100)
+    np.testing.assert_allclose(np.asarray(ops.matvec(M, x.astype(np.float32))),
+                               A @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_native_spgemm_alpha_without_S():
+    """alpha must scale A@B even when no S term is passed (ADVICE r1: the
+    S-less C entry point hardcodes alpha=1)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from polysolve_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    A = sp.random(50, 40, density=0.1, random_state=rng, format="csr")
+    B = sp.random(40, 30, density=0.1, random_state=rng, format="csr")
+    C = native.spgemm(A, B, alpha=2.5)
+    assert C is not None
+    ref = (2.5 * (A @ B)).toarray()
+    np.testing.assert_allclose(C.toarray(), ref, rtol=1e-12, atol=1e-12)
