@@ -206,6 +206,10 @@ class AMGHierarchy:
         ncycle = int(params.get("ncycle", 1))
         omega = float(params.get("omega", 4.0 / 3.0))
         smoother = str(params.get("smoother", "cheb4"))
+        # cheb1 spectrum brackets as fractions of the estimated ρ
+        # (AMGCL relax.lower/higher, reference AMGCL.cpp:36-43)
+        cheb_lower = float(params.get("cheb_lower", 1.0 / 30.0))
+        cheb_higher = float(params.get("cheb_higher", 1.1))
         dtype = default_dtype()
 
         A0 = sp.csr_matrix(A).astype(np.float64)
@@ -276,7 +280,7 @@ class AMGHierarchy:
             )
             if smoother == "cheb1":
                 rho = _spectral_radius_host(Al)
-                lo, hi = rho / 30.0, 1.1 * rho
+                lo, hi = cheb_lower * rho, cheb_higher * rho
             else:
                 lo, hi = 1.0, 1.0  # unused by cheb4
             levels.append(AMGLevel(

@@ -211,9 +211,10 @@ def minres(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
     s = lax.while_loop(cond, body, init)
     r = b - matvec(s["x"])
     relres = jnp.sqrt(_safe_div(jnp.vdot(r, r), jnp.vdot(b, b)))
-    # MINRES tracks |phibar| as a residual estimate inside the loop; report
-    # convergence against the true residual it exits with
-    return KrylovResult(s["x"], s["k"], relres, relres * bnorm <= thresh)
+    # error = the honest true residual; converged = the loop's actual exit
+    # reason (its |phibar| estimate met the tolerance / Krylov space
+    # exhausted), matching Eigen::MINRES's Success semantics — not the cap
+    return KrylovResult(s["x"], s["k"], relres, s["done"])
 
 
 # --------------------------------------------------------------------------- #

@@ -191,6 +191,13 @@ class Solver:
         if isinstance(params, str):
             return _instantiate(params, precond or default_precond(), {}, logger)
 
+        # reference-config compatibility: a genuine polyfem AMGCL/Hypre
+        # nested subtree (AMGCL.cpp:32-92) is translated to canonical params
+        # BEFORE validation, so unmodified reference configs pass strict mode
+        from polysolve_tpu.linear import compat
+
+        params = compat.translate_reference_params(params, strict=strict,
+                                                    logger=logger)
         rules = build_linear_spec_rules()
         params = spec_mod.validate_and_inject(params, rules, strict=strict, logger=logger)
         params = _apply_default_solver(params, logger)
