@@ -446,13 +446,24 @@ def _tentative_prolongator(agg: np.ndarray, n_agg: int, B: np.ndarray):
     sgn[sgn == 0] = 1.0
     Q = Q * sgn[:, None, :]
     Rf = Rf * sgn[:, :, None]
-    # scatter Q back to sparse P (n × n_agg·k)
+    # rank-safe: small aggregates can't span all k near-nullspace modes (a
+    # 1-node aggregate in 3-D elasticity holds 3 dofs vs 6 RBMs). Deficient
+    # directions have ~0 on R's diagonal; keeping their Q columns puts
+    # zero/garbage columns into P → zero diagonal in RAP → 1/0 → NaN cycle.
+    diag = np.abs(np.einsum("aii->ai", Rf))               # (n_agg, k)
+    keep = diag > 1e-10 * np.maximum(diag.max(axis=1, keepdims=True), 1e-300)
+    Q = Q * keep[:, None, :]
+    # scatter Q back to sparse P (n × n_agg·k), then drop deficient columns
     row_idx = np.tile(np.arange(n)[:, None], (1, k)).ravel()
     col_idx = (agg[:, None] * k + np.arange(k)[None, :]).ravel()
     vals = Q[agg, pos_in_agg].ravel()
     P = sp.csr_matrix((vals, (row_idx, col_idx)), shape=(n, n_agg * k))
     P.eliminate_zeros()
     Bc = Rf.reshape(n_agg * k, k)
+    keep_flat = keep.ravel()
+    if not keep_flat.all():
+        P = sp.csr_matrix(P[:, keep_flat])
+        Bc = Bc[keep_flat]
     return P, Bc
 
 

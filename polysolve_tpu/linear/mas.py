@@ -84,6 +84,12 @@ class MASSolver(KrylovSolver):
             "max_iter": leaf_i(cls.default_max_iter),
             "tolerance": leaf_f(1e-5),
             "abs_tolerance": leaf_f(1e-8),
+            # the reference spec's names (linear-solver-spec.json:481-497);
+            # -1 = unset sentinel (spec injects defaults, so presence alone
+            # can't signal user intent); explicitly set values win over the
+            # generic tolerance pair
+            "relative_tolerance": leaf_f(-1.0),
+            "absolute_tolerance": leaf_f(-1.0),
             "bank_size": leaf_i(32),          # BANK_SIZE (GraphPartition.cpp:255-273)
             "levels": leaf_i(4),              # ≤4 coarse levels (MASPreconditioner.hpp:10-12)
             "lazy_partitioning": {"type": "bool", "default": True},
@@ -97,7 +103,12 @@ class MASSolver(KrylovSolver):
         self._n_parts = 0
 
     def _atol(self) -> float:
-        return float(self.params.get("abs_tolerance", 1e-8))
+        v = float(self.params.get("absolute_tolerance", -1.0))
+        return v if v >= 0 else float(self.params.get("abs_tolerance", 1e-8))
+
+    def _tol(self) -> float:
+        v = float(self.params.get("relative_tolerance", -1.0))
+        return v if v > 0 else super()._tol()
 
     def analyze_pattern(self, A: sp.spmatrix, precond_num: int = 0) -> None:
         KrylovSolver.analyze_pattern(self, A, precond_num)

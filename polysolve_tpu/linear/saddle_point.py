@@ -27,9 +27,11 @@ class SaddlePointSolver(Solver):
     @classmethod
     def param_tree(cls) -> Dict[str, Any]:
         return {
-            "max_iter": {"type": "int", "default": 50},
+            "max_iter": {"type": "int", "default": 150},
             "tolerance": {"type": "float", "default": 1e-10},
-            "inner_solver": {"type": "string", "default": "GMRES"},
+            # "auto": AMG-CG on the (SPD) A11 block, sign-aware CG on the
+            # Schur block; or any registered solver name for both blocks
+            "inner_solver": {"type": "string", "default": "auto"},
             "inner_tolerance": {"type": "float", "default": 1e-10},
             "inner_max_iter": {"type": "int", "default": 1000},
         }
@@ -63,19 +65,44 @@ class SaddlePointSolver(Solver):
         self.A22 = As[p:, p:].tocsr()
         # approximate Schur complement (SaddlePointSolver.cpp:145)
         S = sp.csr_matrix(self.A22 - self.A21 @ self.A12)
-        inner = str(self.params.get("inner_solver", "GMRES"))
-        inner_params = {
-            inner: {
-                "tolerance": float(self.params.get("inner_tolerance", 1e-10)),
-                "max_iter": int(self.params.get("inner_max_iter", 1000)),
-            }
-        }
-        self.solver1 = Solver.create(dict(inner_params, solver=inner),
-                                     logger=self.logger, strict=False)
+        inner = str(self.params.get("inner_solver", "auto"))
+        tol = float(self.params.get("inner_tolerance", 1e-10))
+        mi = int(self.params.get("inner_max_iter", 1000))
+
+        def mk(name, extra=None):
+            p = {name: dict({"tolerance": tol, "max_iter": mi}, **(extra or {}))}
+            return Solver.create(dict(p, solver=name), logger=self.logger,
+                                 strict=False)
+
+        # A11 block: FEM KKT systems have an SPD (1,1) block — AMG-CG beats
+        # the reference's per-iteration GMRES by orders at scale; any
+        # explicit inner_solver name overrides
+        if inner == "auto":
+            self.solver1 = mk("AMG", {"structured": False})
+        else:
+            self.solver1 = mk(inner)
+        self.solver1.analyze_pattern(self.A11, self.A11.shape[0])
         self.solver1.factorize(self.A11)
-        self.solver2 = Solver.create(dict(inner_params, solver=inner),
-                                     logger=self.logger, strict=False)
-        self.solver2.factorize(S)
+        # Schur block: after the scaling S = A22 − A21·A12 is definite with
+        # the sign of A22 (negative for the usual [−eps·I] pressure block).
+        # CG needs SPD: solve the negated system and flip the sign back.
+        # Mixed-sign diagonals (genuinely indefinite) keep GMRES.
+        dS = S.diagonal()
+        self._neg_schur = False
+        if inner == "auto":
+            if np.all(dS < 0):
+                self._neg_schur = True
+                self.solver2 = mk("CG")
+                self.solver2.factorize(sp.csr_matrix(-S))
+            elif np.all(dS > 0):
+                self.solver2 = mk("CG")
+                self.solver2.factorize(S)
+            else:
+                self.solver2 = mk("GMRES")
+                self.solver2.factorize(S)
+        else:
+            self.solver2 = mk(inner)
+            self.solver2.factorize(S)
 
     def _block_precond(self, r: np.ndarray) -> np.ndarray:
         """Block lower-triangular preconditioner: u = A11⁻¹ r1 (inner solve),
@@ -84,6 +111,8 @@ class SaddlePointSolver(Solver):
         p = self.precond_num
         u = self.solver1.solve(r[:p])
         v = self.solver2.solve(r[p:] - self.A21 @ u)
+        if self._neg_schur:
+            v = -v
         return np.concatenate([u, v])
 
     def solve(self, b: np.ndarray, x: Optional[np.ndarray] = None) -> np.ndarray:
