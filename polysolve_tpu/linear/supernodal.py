@@ -66,6 +66,49 @@ def md_ordering(A: sp.csr_matrix) -> np.ndarray:
                       dtype=np.int64)
 
 
+def nd_ordering(A: sp.csr_matrix, leaf: int = 256
+                ) -> Tuple[np.ndarray, list]:
+    """Nested-dissection ordering via the native 2-way multilevel partitioner
+    (the METIS_NodeND role): order = [subtree 0, subtree 1, separator],
+    recursively. Unlike minimum degree, this gives the blocked elimination
+    tree real *width* — columns in disjoint subtrees are independent, which
+    is what the level-scheduled factorization batches (a sequentially-blocked
+    MD order yields a near-chain block etree with nothing to batch).
+
+    Returns (order, region_sizes): regions are the leaf/separator column
+    runs, in order — ``analyze`` pads each to a tile multiple so no block
+    straddles a subtree boundary (straddling fuses independent branches
+    back into a chain)."""
+    from polysolve_tpu import native
+
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    if n <= leaf:
+        return md_ordering(A), [n]
+    S = A + A.T
+    part = native.kway_partition(S, 2)
+    degenerate = part is None
+    if not degenerate:
+        sizes = np.bincount(part, minlength=2)
+        degenerate = sizes.min() < max(leaf // 4, 16)
+    if degenerate:
+        return md_ordering(A), [n]
+    # vertex separator: side-1 vertices adjacent to side 0
+    S = sp.csr_matrix(S)
+    side0 = part == 0
+    touches0 = np.diff((S[:, side0] != 0).indptr) > 0
+    sep = (part == 1) & touches0
+    p0 = np.flatnonzero(side0)
+    p1 = np.flatnonzero((part == 1) & ~sep)
+    ps = np.flatnonzero(sep)
+    if len(p1) == 0 or len(ps) == 0:
+        return md_ordering(A), [n]
+    o0, r0 = nd_ordering(A[p0][:, p0].tocsr(), leaf)
+    o1, r1 = nd_ordering(A[p1][:, p1].tocsr(), leaf)
+    order = np.concatenate([p0[o0], p1[o1], ps])
+    return order, r0 + r1 + [len(ps)]
+
+
 def etree(A_lower: sp.csc_matrix) -> np.ndarray:
     """Elimination tree of a symmetric pattern (Liu's algorithm with path
     compression). ``A_lower`` is the lower triangle in CSC."""
@@ -141,10 +184,23 @@ class BlockSymbolic:
     a_perm_cols: np.ndarray   # used to re-extract values on re-factorize
     flops: float              # dense-op flop count (diagnostics)
     mem_blocks_mb: float
+    # level schedule (VERDICT r1 weak #5): block columns bucketed by
+    # elimination-tree level into batches of Bc independent columns — the
+    # numeric scan runs ns = sched_k.shape[0] batched steps instead of nb
+    # sequential ones (etree level scheduling, SURVEY.md §7 hard-part #3)
+    sched_k: Optional[np.ndarray] = None   # (ns, Bc) int32, pad = nb
+    n_levels: int = 0
+    # region-aligned embedding: permuted position k lives at padded row
+    # emb[k]; region-padding dofs are identity (nested-dissection blocking)
+    emb: Optional[np.ndarray] = None
 
     @property
     def n_pad(self) -> int:
         return self.nb * self.m
+
+    @property
+    def batch_width(self) -> int:
+        return 1 if self.sched_k is None else self.sched_k.shape[1]
 
 
 def analyze(A: sp.spmatrix, m: int = 32,
@@ -152,21 +208,41 @@ def analyze(A: sp.spmatrix, m: int = 32,
     """Symbolic phase: ordering + postorder + block-fill + index tables."""
     A = sp.csr_matrix(A)
     n = A.shape[0]
+    regions = [n]
     if perm is None:
-        perm = md_ordering(A)
-        Ap = sp.csr_matrix(A[perm][:, perm])
-        par = etree(sp.csc_matrix(sp.tril(Ap)))
-        post = postorder(par)
-        perm = perm[post]
+        if n >= 2048:
+            # nested dissection: etree width for the level schedule; regions
+            # are padded to tile multiples below so blocks never straddle a
+            # subtree boundary (straddling re-chains the block etree). ND
+            # order is already bottom-up — no postorder pass.
+            perm, regions = nd_ordering(A)
+        else:
+            perm = md_ordering(A)
+            Ap = sp.csr_matrix(A[perm][:, perm])
+            par = etree(sp.csc_matrix(sp.tril(Ap)))
+            post = postorder(par)
+            perm = perm[post]
     Ap = sp.csr_matrix(A[perm][:, perm])
 
-    nb = -(-n // m)
-    n_pad = nb * m
+    # region-aligned embedding: permuted position k ↦ emb[k]; each region
+    # padded to a multiple of m with identity dofs
+    reg_sizes = np.asarray(regions, dtype=np.int64)
+    reg_pad = -(-reg_sizes // m) * m
+    emb_starts = np.concatenate([[0], np.cumsum(reg_pad)[:-1]])
+    src_starts = np.concatenate([[0], np.cumsum(reg_sizes)[:-1]])
+    emb = np.concatenate([
+        es + np.arange(rs) for es, rs in zip(emb_starts, reg_sizes)
+    ]).astype(np.int64)
+    n_pad = int(reg_pad.sum())
+    nb = n_pad // m
+    pad_dofs = np.setdiff1d(np.arange(n_pad), emb, assume_unique=True)
 
-    # block lower pattern of Ap
+    # block lower pattern of the embedded Ap (+ identity on pad dofs)
     Alow = sp.coo_matrix(sp.tril(Ap))
-    bi = Alow.row // m
-    bj = Alow.col // m
+    er = emb[Alow.row]
+    ec = emb[Alow.col]
+    bi = np.concatenate([er, pad_dofs]) // m
+    bj = np.concatenate([ec, pad_dofs]) // m
     pairs = np.unique(bi * nb + bj)
     p_bi, p_bj = pairs // nb, pairs % nb
 
@@ -220,32 +296,77 @@ def analyze(A: sp.spmatrix, m: int = 32,
                 if ia >= ib:
                     upd_ids[j, a, b] = blk_id[(int(ia), int(ib))]
 
-    # A-value scatter map (lower triangle of the permuted matrix). Entries
-    # strictly below the diagonal *within a diagonal block* are mirrored so
-    # diagonal blocks assemble fully symmetric — jnp.linalg.cholesky
-    # symmetrizes its input ((A+Aᵀ)/2), which would otherwise halve them.
+    # A-value scatter map: embedded coordinates locate the (block, local)
+    # slot; permuted coordinates (a_perm_rows/cols) re-extract values on
+    # refactorize. Entries strictly below the diagonal *within a diagonal
+    # block* are mirrored so diagonal blocks assemble fully symmetric —
+    # jnp.linalg.cholesky symmetrizes its input ((A+Aᵀ)/2), which would
+    # otherwise halve them.
     mask = Alow.row >= Alow.col
-    rr, cc = Alow.row[mask], Alow.col[mask]
-    mirror = ((rr // m) == (cc // m)) & (rr != cc)
-    rr = np.concatenate([rr, cc[mirror]])
-    cc = np.concatenate([cc, Alow.row[mask][mirror]])
-    a_blk = np.array([blk_id[(int(r) // m, int(c) // m)] for r, c in zip(rr, cc)],
-                     dtype=np.int32)
-    a_i = (rr % m).astype(np.int32)
-    a_j = (cc % m).astype(np.int32)
-    # identity padding for the tail rows
-    if n_pad > n:
-        tail = np.arange(n, n_pad)
-        a_blk = np.concatenate([a_blk,
-                                np.full(len(tail), diag_ids[nb - 1], np.int32)])
-        a_i = np.concatenate([a_i, (tail % m).astype(np.int32)])
-        a_j = np.concatenate([a_j, (tail % m).astype(np.int32)])
-        rr = np.concatenate([rr, tail])
-        cc = np.concatenate([cc, tail])
+    pr, pc = Alow.row[mask], Alow.col[mask]      # permuted coords
+    zr, zc = emb[pr], emb[pc]                    # embedded coords
+    mirror = ((zr // m) == (zc // m)) & (zr != zc)
+    pr2 = np.concatenate([pr, pc[mirror]])
+    pc2 = np.concatenate([pc, pr[mirror]])
+    zr2 = np.concatenate([zr, zc[mirror]])
+    zc2 = np.concatenate([zc, zr[mirror]])
+    # identity on the region-padding dofs (value 1.0: a_perm row = n is the
+    # out-of-range marker extract_values keeps at 1)
+    zr2 = np.concatenate([zr2, pad_dofs])
+    zc2 = np.concatenate([zc2, pad_dofs])
+    pr2 = np.concatenate([pr2, np.full(len(pad_dofs), n, np.int64)])
+    pc2 = np.concatenate([pc2, np.full(len(pad_dofs), n, np.int64)])
+    a_blk = np.array([blk_id[(int(r) // m, int(c) // m)]
+                      for r, c in zip(zr2, zc2)], dtype=np.int32)
+    a_i = (zr2 % m).astype(np.int32)
+    a_j = (zc2 % m).astype(np.int32)
+    rr, cc = pr2, pc2
+
+    # ---- etree level schedule: batches of independent block columns ---- #
+    # parent = first off-diagonal block row (the block elimination tree);
+    # columns at one level have disjoint subtrees, so their factor steps
+    # commute and their right-looking updates scatter-add safely
+    parent = np.full(nb, -1, dtype=np.int64)
+    for j in range(nb):
+        if len(col_sorted[j]):
+            parent[j] = col_sorted[j][0]
+    level = np.zeros(nb, dtype=np.int64)
+    for j in range(nb):  # postorder ⇒ children precede parents
+        p = parent[j]
+        if p >= 0:
+            level[p] = max(level[p], level[j] + 1)
+    n_levels = int(level.max()) + 1 if nb else 0
+    widths = np.bincount(level, minlength=max(n_levels, 1))
+    # batch width: biggest Bc with ≤80% padded-column overhead (dummy columns
+    # cost flops but scan *steps* cost fixed latency — steps dominate for
+    # m=32 tiles), capped so a step's update tensor (Bc·Wmax²·m²) stays
+    # bounded
+    Bc = 1
+    cap = max(1, (1 << 16) // max(Wmax * Wmax, 1))
+    for cand in (2, 4, 8, 16, 32):
+        if cand > cap:
+            break
+        padded = sum(-(-int(w) // cand) * cand for w in widths if w)
+        if padded <= 1.8 * nb:
+            Bc = cand
+    order_lv = np.lexsort((np.arange(nb), level))
+    k_rows = []
+    pos = 0
+    for w in widths:
+        cols_lv = order_lv[pos:pos + int(w)]
+        pos += int(w)
+        for s0 in range(0, len(cols_lv), Bc):
+            chunk = cols_lv[s0:s0 + Bc]
+            row = np.full(Bc, nb, dtype=np.int32)
+            row[: len(chunk)] = chunk
+            k_rows.append(row)
+    sched_k = (np.stack(k_rows) if k_rows
+               else np.zeros((0, Bc), dtype=np.int32))
 
     mem = (n_blocks + 1) * m * m * 8 / 2 ** 20
     return BlockSymbolic(
         perm=perm, m=m, nb=nb, n=n, n_blocks=n_blocks, Wmax=Wmax,
+        sched_k=sched_k, n_levels=n_levels, emb=emb,
         diag_ids=diag_ids, col_ids=col_ids, col_rows=col_rows,
         upd_ids=upd_ids, a_blk=a_blk, a_i=a_i, a_j=a_j,
         a_perm_rows=rr, a_perm_cols=cc, flops=flops, mem_blocks_mb=mem,
@@ -328,6 +449,79 @@ def _solve_scan(blocks, diag_ids, col_ids, col_rows, B,
         return x.at[k].set(xk), None
 
     x, _ = lax.scan(bwd, y, (ks, diag_ids, col_ids, col_rows), reverse=True)
+    return x[:nb]
+
+
+# --------------------------------------------------------------------------- #
+# Level-scheduled numeric phase: each scan step factors a batch of Bc
+# independent block columns (same etree level) — batched POTRF/TRSM/GEMM on
+# the MXU instead of nb fully sequential steps (VERDICT r1 weak #5)
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
+def _factor_scan_level(a_vals, a_blk, a_i, a_j, diag_b, col_b, upd_b,
+                       n_blocks: int, m: int):
+    """diag_b (ns, Bc), col_b (ns, Bc, Wmax), upd_b (ns, Bc, Wmax, Wmax);
+    padding entries point at the guard block ``n_blocks`` (kept = I)."""
+    dtype = a_vals.dtype
+    eye = jnp.eye(m, dtype=dtype)
+    blocks = jnp.zeros((n_blocks + 1, m, m), dtype=dtype)
+    blocks = blocks.at[a_blk, a_i, a_j].add(a_vals)
+    blocks = blocks.at[n_blocks].set(eye)
+
+    def step(blocks, xs):
+        diag_ids, ids, upd = xs
+        Ld = jnp.linalg.cholesky(blocks[diag_ids])           # (Bc, m, m)
+        P = blocks[ids]                                      # (Bc, W, m, m)
+        valid = (ids < n_blocks)[:, :, None, None]
+        Y = jax.scipy.linalg.solve_triangular(
+            jnp.broadcast_to(Ld[:, None], P.shape),
+            jnp.swapaxes(P, -1, -2), lower=True)
+        Loff = jnp.where(valid, jnp.swapaxes(Y, -1, -2), 0.0)
+        blocks = blocks.at[diag_ids].set(Ld)
+        blocks = blocks.at[ids].set(Loff)
+        U = jnp.einsum("caij,cbkj->cabik", Loff, Loff,
+                       preferred_element_type=dtype)
+        blocks = blocks.at[upd].add(-U)
+        # restore the guard after padded writes so dummy columns keep
+        # factoring I (no NaN from cholesky of garbage)
+        return blocks.at[n_blocks].set(eye), None
+
+    blocks, _ = lax.scan(step, blocks, (diag_b, col_b, upd_b))
+    return blocks
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
+def _solve_scan_level(blocks, k_b, diag_b, col_b, rows_b, B,
+                      n_blocks: int, m: int):
+    """Level-batched L Lᵀ X = B. k_b (ns, Bc) block-column ids (pad nb)."""
+    nb = B.shape[0]
+    nrhs = B.shape[2]
+    y = jnp.concatenate([B, jnp.zeros((1, m, nrhs), dtype=B.dtype)], axis=0)
+
+    def fwd(y, xs):
+        ks, diag_ids, ids, rows = xs
+        yk = jax.scipy.linalg.solve_triangular(
+            blocks[diag_ids], y[ks], lower=True)             # (Bc, m, r)
+        y = y.at[ks].set(yk)
+        valid = (ids < n_blocks)[:, :, None, None]
+        Lo = jnp.where(valid, blocks[ids], 0.0)              # (Bc, W, m, m)
+        contrib = jnp.einsum("caij,cjr->cair", Lo, yk)
+        return y.at[rows].add(-contrib), None
+
+    y, _ = lax.scan(fwd, y, (k_b, diag_b, col_b, rows_b))
+
+    def bwd(x, xs):
+        ks, diag_ids, ids, rows = xs
+        valid = (ids < n_blocks)[:, :, None, None]
+        Lo = jnp.where(valid, blocks[ids], 0.0)
+        s = jnp.einsum("caij,cair->cjr", Lo, x[rows])
+        xk = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(blocks[diag_ids], -1, -2), x[ks] - s, lower=False)
+        return x.at[ks].set(xk), None
+
+    x, _ = lax.scan(bwd, y, (k_b, diag_b, col_b, rows_b), reverse=True)
     return x[:nb]
 
 
@@ -456,12 +650,12 @@ class SupernodalLU:
         Asym = sp.csr_matrix(A)
         pattern = Asym + Asym.T  # symmetrize the pattern for the block fill
         phash = phash or ckpt.pattern_hash(pattern)
-        cached = ckpt.default_cache.get(f"snlu{self.tile}", phash)
+        cached = ckpt.default_cache.get(f"snlu2-{self.tile}", phash)
         if cached is not None:
             self.sym = cached
         else:
             self.sym = analyze(pattern, m=self.tile)
-            ckpt.default_cache.put(f"snlu{self.tile}", phash, self.sym)
+            ckpt.default_cache.put(f"snlu2-{self.tile}", phash, self.sym)
         self._phash = phash
         s = self.sym
         self._tables = (
@@ -513,15 +707,15 @@ class SupernodalLU:
         squeeze = b.ndim == 1
         B = b.reshape(s.n, -1)
         Bp = np.zeros((s.n_pad, B.shape[1]))
-        Bp[: s.n] = B[s.perm]
+        Bp[s.emb] = B[s.perm]
         _, _, _, diag_ids, col_ids, _, col_rows = self._tables
         X = _lu_solve_scan(
             *self.factors, diag_ids, col_ids, col_rows,
             jnp.asarray(Bp.reshape(s.nb, s.m, -1), dtype=default_dtype()),
             n_blocks=s.n_blocks, m=s.m)
-        Xp = np.asarray(X, dtype=np.float64).reshape(s.n_pad, -1)[: s.n]
+        Xfull = np.asarray(X, dtype=np.float64).reshape(s.n_pad, -1)
         out = np.empty_like(B)
-        out[s.perm] = Xp
+        out[s.perm] = Xfull[s.emb]
         return out[:, 0] if squeeze else out
 
 
@@ -545,18 +739,29 @@ class SupernodalCholesky:
         from polysolve_tpu import checkpoint as ckpt
 
         phash = phash or ckpt.pattern_hash(A)
-        cached = ckpt.default_cache.get(f"snl{self.tile}", phash)
-        if cached is not None:
+        # "snl2": cache-key bump — round-1 cached symbolics lack sched_k
+        cached = ckpt.default_cache.get(f"snl2-{self.tile}", phash)
+        if cached is not None and getattr(cached, "sched_k", None) is not None:
             self.sym = cached
         else:
             self.sym = analyze(A, m=self.tile)
-            ckpt.default_cache.put(f"snl{self.tile}", phash, self.sym)
+            ckpt.default_cache.put(f"snl2-{self.tile}", phash, self.sym)
         self._phash = phash
         s = self.sym
+        # level-scheduled index tables: gather per-column tables through the
+        # batch schedule, with an appended padding row (column id nb)
+        diag_ext = np.append(s.diag_ids, np.int32(s.n_blocks))
+        col_ext = np.vstack([s.col_ids,
+                             np.full((1, s.Wmax), s.n_blocks, np.int32)])
+        upd_ext = np.concatenate(
+            [s.upd_ids, np.full((1, s.Wmax, s.Wmax), s.n_blocks, np.int32)])
+        rows_ext = np.vstack([s.col_rows, np.full((1, s.Wmax), s.nb, np.int32)])
+        k = s.sched_k
         self._tables = (
             jnp.asarray(s.a_blk), jnp.asarray(s.a_i), jnp.asarray(s.a_j),
-            jnp.asarray(s.diag_ids), jnp.asarray(s.col_ids),
-            jnp.asarray(s.upd_ids), jnp.asarray(s.col_rows),
+            jnp.asarray(k), jnp.asarray(diag_ext[k]),
+            jnp.asarray(col_ext[k]), jnp.asarray(upd_ext[k]),
+            jnp.asarray(rows_ext[k]),
         )
         return s
 
@@ -570,11 +775,11 @@ class SupernodalCholesky:
             self.analyze(A, phash=phash)
         s = self.sym
         vals = extract_values(s, A)
-        a_blk, a_i, a_j, diag_ids, col_ids, upd_ids, _ = self._tables
-        self.blocks = _factor_scan(
+        a_blk, a_i, a_j, _, diag_b, col_b, upd_b, _ = self._tables
+        self.blocks = _factor_scan_level(
             jnp.asarray(vals, dtype=default_dtype()), a_blk, a_i, a_j,
-            diag_ids, col_ids, upd_ids, n_blocks=s.n_blocks, m=s.m)
-        dcheck = self.blocks[diag_ids]
+            diag_b, col_b, upd_b, n_blocks=s.n_blocks, m=s.m)
+        dcheck = self.blocks[jnp.asarray(s.diag_ids)]
         if not bool(jnp.all(jnp.isfinite(dcheck))):
             raise RuntimeError(
                 "SupernodalCholesky: numerical issue (matrix not SPD?)")
@@ -587,13 +792,13 @@ class SupernodalCholesky:
         squeeze = b.ndim == 1
         B = b.reshape(s.n, -1)
         Bp = np.zeros((s.n_pad, B.shape[1]))
-        Bp[: s.n] = B[s.perm]
-        _, _, _, diag_ids, col_ids, _, col_rows = self._tables
-        X = _solve_scan(
-            self.blocks, diag_ids, col_ids, col_rows,
+        Bp[s.emb] = B[s.perm]
+        _, _, _, k_b, diag_b, col_b, _, rows_b = self._tables
+        X = _solve_scan_level(
+            self.blocks, k_b, diag_b, col_b, rows_b,
             jnp.asarray(Bp.reshape(s.nb, s.m, -1), dtype=default_dtype()),
             n_blocks=s.n_blocks, m=s.m)
-        Xp = np.asarray(X, dtype=np.float64).reshape(s.n_pad, -1)[: s.n]
+        Xfull = np.asarray(X, dtype=np.float64).reshape(s.n_pad, -1)
         out = np.empty_like(B)
-        out[s.perm] = Xp
+        out[s.perm] = Xfull[s.emb]
         return out[:, 0] if squeeze else out

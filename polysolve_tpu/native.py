@@ -31,6 +31,8 @@ _SRC = os.path.join(os.path.dirname(_HERE), "cpp", "host_kernels.cpp")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -96,6 +98,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.csr_to_dia.restype = ctypes.c_int
     lib.csr_to_dia.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64, _i64p,
                                ctypes.c_int64, _f64p]
+    if hasattr(lib, "tile_ell_plan"):
+        lib.tile_ell_plan.restype = ctypes.c_int64
+        lib.tile_ell_plan.argtypes = [_i64p, _i32p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64]
+        lib.tile_ell_fetch.restype = ctypes.c_int
+        lib.tile_ell_fetch.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
+                                       _f64p, _i8p, _i8p, _i32p, _i32p]
     _LIB = lib
     return _LIB
 
@@ -323,3 +332,32 @@ def csr_bandwidth(A) -> Optional[int]:
         return None
     indptr, indices = _csr_arrays(A)
     return int(lib.csr_bandwidth(indptr, indices, A.shape[0]))
+
+
+_TILE_ELL_LOCK = threading.Lock()
+
+
+def tile_ell_pack(A, cr: int = 32, span_cap: int = 120):
+    """Composite tile-ELL packing (ops/tile_ell.py) — native first-fit.
+    Returns (vals, r8, q8, wb, tile_of) or None (numpy fallback packs).
+    plan+fetch stage through process-global state → serialized by a lock
+    (the spgemm staging-hazard lesson, ADVICE r1)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "tile_ell_plan"):
+        return None
+    indptr, indices = _csr_arrays(A)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    n = A.shape[0]
+    with _TILE_ELL_LOCK:
+        TC = lib.tile_ell_plan(indptr, indices, n, cr, span_cap)
+        if TC <= 0:
+            return None
+        vals = np.zeros((TC, cr, 128), np.float64)
+        r8 = np.zeros((TC, cr, 128), np.int8)
+        q8 = np.zeros((TC, cr, 128), np.int8)
+        wb = np.zeros(TC, np.int32)
+        tile_of = np.zeros(TC, np.int32)
+        if lib.tile_ell_fetch(indptr, indices, data, n, vals, r8, q8, wb,
+                              tile_of) != 0:
+            return None
+    return vals, r8, q8, wb, tile_of
