@@ -94,6 +94,9 @@ class MASSolver(KrylovSolver):
             "levels": leaf_i(4),              # ≤4 coarse levels (MASPreconditioner.hpp:10-12)
             "lazy_partitioning": {"type": "bool", "default": True},
             "use_preconditioned_residual_norm": {"type": "bool", "default": False},
+            # "bank" (whole-bank, measured winner) or "cco" (reference's
+            # per-bank connected components, MASPreconditioner.cu:376-481)
+            "coarse_space": {"type": "string", "default": "bank"},
         }
 
     def __init__(self):
@@ -174,7 +177,9 @@ class MASSolver(KrylovSolver):
         self.pstate = preconditioners.make(
             "MAS", self.A_host, self.A_dev,
             params={"bank_size": int(self.params.get("bank_size", 32)),
-                    "levels": int(self.params.get("levels", 4))},
+                    "levels": int(self.params.get("levels", 4)),
+                    "coarse_space": str(self.params.get("coarse_space",
+                                                        "bank"))},
             block_size=bd, logger=self.logger,
         )
 

@@ -28,7 +28,7 @@ changes — re-``factorize`` with new values reuses the compiled executable
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
 import scipy.sparse as sp
@@ -115,12 +115,20 @@ class BlockJacobiP:
 class SchwarzLevel:
     """One additive level: banked batched dense inverses at this level's
     resolution. Vector layout is node-major with ``b`` components per node;
-    banks are ``group`` consecutive nodes (node count padded to nb·group)."""
+    banks are ``group`` consecutive nodes (node count padded to nb·group).
+
+    ``comp`` holds each node's connected-component id *within its bank*
+    (the reference's warp-local CCO coarse space, MASPreconditioner.cu:
+    376-481): the next-coarser level has one dof per (bank, component,
+    vector component) instead of one per bank. ``comp=None`` ⇒ whole-bank
+    (piecewise-constant) coarsening."""
 
     inv_blocks: jnp.ndarray   # (nb, s, s), s = group·b
     n: int = struct.field(pytree_node=False)       # true dof count
     b: int = struct.field(pytree_node=False)       # components per node
     group: int = struct.field(pytree_node=False)   # nodes per bank
+    comp: Optional[jnp.ndarray] = None             # (nb·group,) int32
+    n_comp: int = struct.field(pytree_node=False, default=1)
 
 
 @struct.dataclass
@@ -271,19 +279,35 @@ def _bank_apply(lev: SchwarzLevel, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def _restrict(lev: SchwarzLevel, r: jnp.ndarray) -> jnp.ndarray:
-    """Per-component bank sum: (nodes, b) → (nb, b) flattened."""
+    """Restriction to the next level: per-(bank, component) sum — the
+    reference's warp CCO coarse space (MASPreconditioner.cu:593-659). With
+    ``comp=None`` it degenerates to the whole-bank sum. Implemented as a
+    one-hot einsum (gather-free, MXU-friendly)."""
     nb = lev.inv_blocks.shape[0]
     g, b = lev.group, lev.b
     rp = jnp.concatenate([r, jnp.zeros(nb * g * b - lev.n, dtype=r.dtype)])
-    return rp.reshape(nb, g, b).sum(axis=1).reshape(-1)
+    if lev.comp is None:
+        return rp.reshape(nb, g, b).sum(axis=1).reshape(-1)
+    C = lev.n_comp
+    oh = (lev.comp.reshape(nb, g)[:, :, None]
+          == jnp.arange(C)[None, None, :]).astype(r.dtype)
+    rc = jnp.einsum("ngc,ngb->ncb", oh, rp.reshape(nb, g, b))
+    return rc.reshape(-1)
 
 
 def _prolong(lev: SchwarzLevel, zc: jnp.ndarray) -> jnp.ndarray:
-    """Adjoint of _restrict: coarse (nb, b) broadcast over each bank's nodes."""
+    """Adjoint of _restrict: coarse values broadcast over their component's
+    nodes (whole bank when ``comp=None``)."""
     nb = lev.inv_blocks.shape[0]
     g, b = lev.group, lev.b
-    z = jnp.broadcast_to(zc.reshape(nb, 1, b), (nb, g, b)).reshape(-1)
-    return z[: lev.n]
+    if lev.comp is None:
+        z = jnp.broadcast_to(zc.reshape(nb, 1, b), (nb, g, b)).reshape(-1)
+        return z[: lev.n]
+    C = lev.n_comp
+    oh = (lev.comp.reshape(nb, g)[:, :, None]
+          == jnp.arange(C)[None, None, :]).astype(zc.dtype)
+    z = jnp.einsum("ngc,ncb->ngb", oh, zc.reshape(nb, C, b))
+    return z.reshape(-1)[: lev.n]
 
 
 def _mas_apply(state: MASP, r: jnp.ndarray) -> jnp.ndarray:
@@ -298,13 +322,63 @@ def _mas_apply(state: MASP, r: jnp.ndarray) -> jnp.ndarray:
     return z
 
 
+def _bank_components(A_l: sp.csr_matrix, b: int, bank_nodes: int,
+                     cap: int = 8):
+    """Connected components of each bank's node graph (the reference's warp
+    ballot/popcount CCO, MASPreconditioner.cu:376-481): one global
+    connected_components call on the bank-internal edge subgraph (banks are
+    mutually disconnected there). Returns (comp (nodes_pad,) int32, C) with
+    per-bank labels in [0, C); components beyond ``cap`` merge into the
+    last."""
+    from scipy.sparse.csgraph import connected_components
+
+    n_l = A_l.shape[0]
+    nodes = -(-n_l // b)
+    nb = -(-nodes // bank_nodes)
+    nodes_pad = nb * bank_nodes
+    bank_of = np.arange(nodes_pad) // bank_nodes
+    C_node = sp.coo_matrix(A_l)
+    ni, nj = C_node.row // b, C_node.col // b
+    keep = (bank_of[ni] == bank_of[nj]) & (ni != nj)
+    G = sp.coo_matrix((np.ones(keep.sum()), (ni[keep], nj[keep])),
+                      shape=(nodes_pad, nodes_pad)).tocsr()
+    _, labels = connected_components(G, directed=False)
+    # relabel per bank, first-appearance order, capped
+    comp = np.zeros(nodes_pad, dtype=np.int32)
+    Cmax = 1
+    lab2 = labels.astype(np.int64)
+    # isolated nodes — bank padding, identity/Dirichlet dofs, empty coarse
+    # slots — fold into one shared label so singletons don't inflate C
+    isolated = np.diff(G.indptr) == 0
+    lab2[isolated] = -1
+    lab2[nodes:] = -1
+    for k in range(nb):
+        sl = slice(k * bank_nodes, (k + 1) * bank_nodes)
+        _, local = np.unique(lab2[sl], return_inverse=True)
+        comp[sl] = np.minimum(local, cap - 1)
+        Cmax = max(Cmax, int(comp[sl].max()) + 1)
+    return comp, Cmax
+
+
 @register("MAS")
 def _mas_precond(A_host, A_dev, params, block_size=1, **kw):
     """Build the ≤``levels``-level additive Schwarz hierarchy on host:
-    per-level Galerkin bank matrices (scipy), batched inverses on device."""
+    per-level Galerkin bank matrices (scipy), batched inverses on device.
+
+    ``coarse_space``: "bank" (whole-bank piecewise-constant — default) or
+    "cco" (per-bank connected components, the reference's
+    MASPreconditioner.cu:376-481 design). Measured head-to-head (see
+    tests/test_linear_solver.py::test_mas_coarse_space_comparison): on
+    connected FEM fixtures the two tie (banks are connected ⇒ identical
+    spaces); on split-bank fixtures (multi-body, scattered orderings) the
+    *additive* level combination slightly favors the conservative whole-bank
+    space (99 vs 102, 633 vs 686 CG iterations) — richer additive coarse
+    corrections overshoot. Whole-bank wins ⇒ default; CCO stays available
+    for reference-parity experiments."""
     b = max(int(block_size), 1)
     bank_nodes = int(params.get("bank_size", 32))
     max_levels = int(params.get("levels", 4))  # MASPreconditioner.hpp:10-12
+    use_cco = str(params.get("coarse_space", "bank")) == "cco"
     dtype = A_dev.dtype if A_dev is not None else default_dtype()
 
     levels = []
@@ -316,14 +390,34 @@ def _mas_precond(A_host, A_dev, params, block_size=1, **kw):
         s = bank_nodes * b
         blocks = bank_diagonal_blocks(A_l, s)
         inv = jnp.linalg.inv(jnp.asarray(blocks, dtype=dtype))
-        levels.append(SchwarzLevel(inv_blocks=inv, n=n_l, b=b, group=bank_nodes))
         if nb <= 1 or l == max_levels - 1:
+            levels.append(SchwarzLevel(inv_blocks=inv, n=n_l, b=b,
+                                       group=bank_nodes))
             break
-        # Galerkin restriction: coarse dof (bank, comp) = Σ over bank nodes
-        rows = (np.arange(n_l) // (bank_nodes * b)) * b + (np.arange(n_l) % b)
+        if use_cco:
+            comp, C = _bank_components(A_l, b, bank_nodes)
+        else:
+            comp, C = None, 1
+        levels.append(SchwarzLevel(
+            inv_blocks=inv, n=n_l, b=b, group=bank_nodes,
+            comp=None if comp is None else jnp.asarray(comp), n_comp=C))
+        # Galerkin restriction: coarse dof (bank, component, vec-comp)
+        nodes_pad = nb * bank_nodes
+        node_of = np.arange(n_l) // b
+        comp_of = (np.zeros(nodes_pad, np.int64) if comp is None
+                   else comp.astype(np.int64))
+        bank_of = np.arange(nodes_pad) // bank_nodes
+        rows = ((bank_of[node_of] * C + comp_of[node_of]) * b
+                + (np.arange(n_l) % b))
         R = sp.csr_matrix((np.ones(n_l), (rows, np.arange(n_l))),
-                          shape=(nb * b, n_l))
-        A_l = sp.csr_matrix(R @ A_l @ R.T)
+                          shape=(nb * C * b, n_l))
+        Ac = sp.csr_matrix(R @ A_l @ R.T)
+        # empty (bank, component) coarse dofs → identity (keeps the banked
+        # diagonal blocks invertible)
+        d = Ac.diagonal()
+        if np.any(d == 0):
+            Ac = Ac + sp.diags((d == 0).astype(np.float64))
+        A_l = Ac
     return MASP(levels=tuple(levels))
 
 
