@@ -73,18 +73,26 @@ class AMGState:
     ncycle: int = struct.field(pytree_node=False)
 
 
-def chebyshev1(A, theta, delta, degree: int, r):
+def chebyshev1(A, theta, delta, degree: int, r, Dinv=None):
     """z ≈ A⁻¹ r by degree-d 1st-kind Chebyshev on [θ−δ, θ+δ] (zero guess).
+
+    With ``Dinv`` the polynomial runs in the Jacobi-scaled operator D⁻¹A
+    (brackets then refer to its spectrum) — AMGCL's ``relax.scale: true``
+    (reference AMGCL.cpp:36-43); the unscaled variant is useless on
+    operators with heterogeneous diagonals (elasticity). Symmetric either
+    way: p(D⁻¹A)D⁻¹ = D^{-1/2} p(D^{-1/2}AD^{-1/2}) D^{-1/2}.
 
     The single canonical copy — the standalone Chebyshev preconditioner
     (preconditioners.ChebyshevP) applies this same recurrence."""
+    scale = (lambda v: Dinv * v) if Dinv is not None else (lambda v: v)
     sigma = theta / delta
     rho = 1.0 / sigma
-    d = r / theta
+    d = scale(r) / theta
     z = d
     for _ in range(degree - 1):
         rho_new = 1.0 / (2.0 * sigma - rho)
-        d = rho_new * rho * d + (2.0 * rho_new / delta) * (r - ops.matvec(A, z))
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * scale(
+            r - ops.matvec(A, z))
         z = z + d
         rho = rho_new
     return z
@@ -113,7 +121,8 @@ def _chebyshev4(A, Dinv, rho, degree: int, b):
 def _smooth(lev: "AMGLevel", r):
     if lev.smoother == "cheb4":
         return _chebyshev4(lev.A, lev.Dinv, lev.rho_da, lev.degree, r)
-    return chebyshev1(lev.A, lev.theta, lev.delta, lev.degree, r)
+    return chebyshev1(lev.A, lev.theta, lev.delta, lev.degree, r,
+                      Dinv=lev.Dinv)
 
 
 def _t_apply(grid, xc: jnp.ndarray) -> jnp.ndarray:
@@ -279,8 +288,8 @@ class AMGHierarchy:
                 dia_fill_threshold=0.05 if len(levels) > 0 else 0.55,
             )
             if smoother == "cheb1":
-                rho = _spectral_radius_host(Al)
-                lo, hi = cheb_lower * rho, cheb_higher * rho
+                # brackets on the Jacobi-scaled spectrum (AMGCL scale: true)
+                lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
             else:
                 lo, hi = 1.0, 1.0  # unused by cheb4
             levels.append(AMGLevel(
