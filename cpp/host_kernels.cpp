@@ -839,4 +839,158 @@ int csr_to_dia(const int64_t* indptr, const int32_t* indices,
   return 0;
 }
 
+
+// --------------------------------------------------------------------------
+// Composite tile-ELL packer (polysolve_tpu/ops/tile_ell.py).
+//
+// First-fit slot assignment with a per-dest-lane monotone cursor: rows map
+// to lanes of 128-row tiles; each slot-row carries a per-source-lane segment
+// map; two entries conflict in a slot-row only if they need different
+// segments from the same source lane. Tiles split into window groups whose
+// segment span fits one 128-row x window. Two-phase (plan stages the
+// placement; fetch fills caller arrays) — serialize plan+fetch on the
+// Python side like spgemm.
+// --------------------------------------------------------------------------
+
+}  // extern "C"
+
+namespace {
+struct TilePlan {
+  std::vector<int32_t> chunk_of;  // per nnz
+  std::vector<int8_t> srow_of;    // per nnz (< CR <= 127)
+  std::vector<int8_t> q8;         // TC*CR*128, chunk-major
+  std::vector<int32_t> wb;        // TC
+  std::vector<int32_t> tile_of;   // TC
+  int64_t cr = 0;
+};
+TilePlan g_tile_plan;
+}  // namespace
+
+extern "C" {
+
+// Returns total chunk count TC, or -1. span_cap: max (segment - window
+// base); window bases are 8-aligned, so pass <= 120 for 128-row windows.
+int64_t tile_ell_plan(const int64_t* indptr, const int32_t* indices,
+                      int64_t n, int64_t cr, int64_t span_cap) {
+  constexpr int L = 128;
+  if (n < 0 || cr <= 0 || cr > 128) return -1;
+  auto& P = g_tile_plan;
+  P.cr = cr;
+  const int64_t nnz = indptr[n];
+  P.chunk_of.assign(static_cast<size_t>(nnz), -1);
+  P.srow_of.assign(static_cast<size_t>(nnz), 0);
+  P.q8.clear();
+  P.wb.clear();
+  P.tile_of.clear();
+  const int64_t TR = (n + L - 1) / L;
+
+  struct Ent {
+    int32_t seg;
+    int32_t lane;
+    int64_t p;
+  };
+  std::vector<Ent> ent;
+  std::vector<int16_t> qmap;   // nslots*L, -1 = unset
+  std::vector<uint8_t> used;   // nslots*L
+  std::vector<int32_t> cursor(L);
+
+  for (int64_t t = 0; t < TR; ++t) {
+    const int64_t r0 = t * L, r1 = std::min(n, (t + 1) * L);
+    const int64_t lo = indptr[r0], hi = indptr[r1];
+    if (hi == lo) {  // empty tile keeps one zero chunk (output pipeline)
+      P.q8.resize(P.q8.size() + static_cast<size_t>(cr) * L, 0);
+      P.wb.push_back(0);
+      P.tile_of.push_back(static_cast<int32_t>(t));
+      continue;
+    }
+    ent.clear();
+    ent.reserve(static_cast<size_t>(hi - lo));
+    for (int64_t r = r0; r < r1; ++r)
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p)
+        ent.push_back({indices[p] / L, static_cast<int32_t>(r - r0), p});
+    std::stable_sort(ent.begin(), ent.end(),
+                     [](const Ent& a, const Ent& b) { return a.seg < b.seg; });
+
+    size_t i = 0;
+    while (i < ent.size()) {
+      const int32_t base = ent[i].seg - (ent[i].seg % 8);
+      size_t j = i;
+      while (j < ent.size() && ent[j].seg - base <= span_cap) ++j;
+
+      const size_t chunk_base = P.wb.size();
+      int nslots = 0;
+      qmap.clear();
+      used.clear();
+      std::fill(cursor.begin(), cursor.end(), 0);
+      for (size_t e = i; e < j; ++e) {
+        const int l = ent[e].lane;
+        const int rho = indices[ent[e].p] % L;
+        const int16_t sloc = static_cast<int16_t>(ent[e].seg - base);
+        int s = cursor[l];
+        for (;; ++s) {
+          if (s >= nslots) {
+            qmap.resize(qmap.size() + L, -1);
+            used.resize(used.size() + L, 0);
+            ++nslots;
+          }
+          int16_t& q = qmap[static_cast<size_t>(s) * L + rho];
+          if (!used[static_cast<size_t>(s) * L + l] &&
+              (q == -1 || q == sloc)) {
+            used[static_cast<size_t>(s) * L + l] = 1;
+            q = sloc;
+            P.chunk_of[ent[e].p] =
+                static_cast<int32_t>(chunk_base + s / cr);
+            P.srow_of[ent[e].p] = static_cast<int8_t>(s % cr);
+            cursor[l] = s;
+            break;
+          }
+        }
+      }
+      const int nch = static_cast<int>((nslots + cr - 1) / cr);
+      const size_t q8_base = P.q8.size();
+      P.q8.resize(q8_base + static_cast<size_t>(nch) * cr * L, 0);
+      for (int s = 0; s < nslots; ++s)
+        for (int z = 0; z < L; ++z) {
+          const int16_t v = qmap[static_cast<size_t>(s) * L + z];
+          P.q8[q8_base + static_cast<size_t>(s) * L + z] =
+              static_cast<int8_t>(v < 0 ? 0 : v);
+        }
+      for (int c = 0; c < nch; ++c) {
+        P.wb.push_back(base);
+        P.tile_of.push_back(static_cast<int32_t>(t));
+      }
+      i = j;
+    }
+  }
+  return static_cast<int64_t>(P.wb.size());
+}
+
+// Fills caller-allocated arrays from the staged plan: vals/r8 are
+// (TC, CR, 128) zero-initialized by the caller; q8/wb/tile_of copied whole.
+int tile_ell_fetch(const int64_t* indptr, const int32_t* indices,
+                   const double* data, int64_t n, double* vals, int8_t* r8,
+                   int8_t* q8, int32_t* wb, int32_t* tile_of) {
+  constexpr int L = 128;
+  auto& P = g_tile_plan;
+  const int64_t cr = P.cr;
+  if (cr <= 0) return -1;
+  for (int64_t r = 0; r < n; ++r) {
+    const int l = static_cast<int>(r % L);
+    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+      const size_t off =
+          (static_cast<size_t>(P.chunk_of[p]) * cr + P.srow_of[p]) * L + l;
+      vals[off] = data[p];
+      r8[off] = static_cast<int8_t>(indices[p] % L);
+    }
+  }
+  std::copy(P.q8.begin(), P.q8.end(), q8);
+  std::copy(P.wb.begin(), P.wb.end(), wb);
+  std::copy(P.tile_of.begin(), P.tile_of.end(), tile_of);
+  // release staging
+  TilePlan().chunk_of.swap(P.chunk_of);
+  TilePlan().srow_of.swap(P.srow_of);
+  TilePlan().q8.swap(P.q8);
+  return 0;
+}
+
 }  // extern "C"

@@ -22,14 +22,18 @@ fast at (·,128). The format is built around exactly those two primitives:
   a chunk fit one 128-row window of ``x2d`` (guaranteed by splitting each
   row-tile into ≤120-segment window groups after RCM ordering).
 
-SpMV per chunk is four vectorized ops:
-  ``X    = xwin[wbl : wbl+128]``                  (window slice, VMEM)
-  ``comp = take_along_axis(X, pad(q), 0)[:CR]``   (composite rows)
+SpMV per chunk is four vectorized ops (sublane gather beyond one vreg
+crashes this Mosaic build — experiments/gather_bisect.py — so the
+composite-row select runs as a lane gather on the *transposed* window,
+with ``q`` stored pre-transposed):
+  ``G    = take_along_axis(Xᵀ, pad(qᵀ), 1)``      (lane gather, (128,128))
+  ``comp = Gᵀ[:CR]``                              (composite rows)
   ``g    = take_along_axis(comp, r, 1)``          (lane crossbar)
   ``y_tile += sum(vals * g, axis=0)``
-with ``vals`` (f32) and ``q``/``r`` (int8) streaming from HBM through the
-Pallas grid pipeline — 6 bytes of HBM traffic per slot; measured padding on
-unstructured 3-D elasticity is ~1.7×, i.e. ~10 bytes/nnz.
+where ``Xᵀ`` is transposed once per 128-row x window (amortized over the
+window's chunks). ``vals`` (f32) and ``q``/``r`` (int8) stream from HBM
+through the Pallas grid pipeline — 6 bytes of HBM traffic per slot; measured
+padding on unstructured 3-D elasticity is ~1.9×, i.e. ~11 bytes/nnz.
 
 The first-fit packer (numpy here, native C++ fast path in
 cpp/host_kernels.cpp) uses a per-dest-lane monotone cursor: a lane's entries
@@ -52,7 +56,7 @@ from polysolve_tpu.types import default_dtype
 
 
 LANES = 128
-CR = 32           # slot-rows per chunk
+CR_DEFAULT = 32   # slot-rows per chunk (pack-time knob)
 WIN = 128         # x2d rows per chunk window
 GROUP_SPAN = 120  # max segment span of a window group (8-align slack)
 
@@ -65,8 +69,9 @@ class TileELLMatrix:
     -----
     vals   : (TC, CR, 128) float — slot values (0 = padding)
     r8     : (TC, CR, 128) int8  — source lane of each slot's column
-    q8     : (TC, CR, 128) int8  — per-(slot-row, source-lane) segment,
+    q8t    : (TC, 128, CR) int8  — per-(source-lane, slot-row) segment,
                                     relative to the chunk window base
+                                    (TRANSPOSED: fed to the lane gather on Xᵀ)
     wb     : (TC,)         int32 — chunk window base row of x2d (8-aligned)
     tile_of: (TC,)         int32 — owning row-tile of each chunk (sorted)
     shape  : static (n, m) of the original matrix
@@ -75,11 +80,12 @@ class TileELLMatrix:
 
     vals: jnp.ndarray
     r8: jnp.ndarray
-    q8: jnp.ndarray
+    q8t: jnp.ndarray
     wb: jnp.ndarray
     tile_of: jnp.ndarray
     shape: Tuple[int, int] = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
+    cr: int = struct.field(pytree_node=False, default=32)
 
     @property
     def dtype(self):
@@ -91,7 +97,7 @@ class TileELLMatrix:
 
     @property
     def padding_ratio(self) -> float:
-        return self.vals.shape[0] * CR * LANES / max(self.nnz, 1)
+        return self.vals.shape[0] * self.cr * LANES / max(self.nnz, 1)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         from polysolve_tpu.ops.spmv import use_pallas_dia as _on_tpu
@@ -114,7 +120,7 @@ class TileELLMatrix:
 # --------------------------------------------------------------------------- #
 
 
-def pack(A: sp.spmatrix, dtype=None) -> TileELLMatrix:
+def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT) -> TileELLMatrix:
     """Pack a CSR matrix (ideally RCM/band-limited ordered) into composite
     tile-ELL. Tries the native C++ packer first; numpy fallback."""
     A = sp.csr_matrix(A)
@@ -126,25 +132,27 @@ def pack(A: sp.spmatrix, dtype=None) -> TileELLMatrix:
 
     from polysolve_tpu import native
 
-    packed = native.tile_ell_pack(A) if n >= 1 else None
+    packed = native.tile_ell_pack(A, cr=cr) if n >= 1 else None
     if packed is None:
-        packed = _pack_numpy(A, TR)
+        packed = _pack_numpy(A, TR, cr)
     vals, r8, q8, wb, tile_of = packed
     return TileELLMatrix(
         vals=jnp.asarray(vals, dtype=dtype),
         r8=jnp.asarray(r8),
-        q8=jnp.asarray(q8),
+        q8t=jnp.asarray(np.swapaxes(q8, 1, 2).copy()),
         wb=jnp.asarray(wb),
         tile_of=jnp.asarray(tile_of),
         shape=(n, m),
         nnz=int(A.nnz),
+        cr=cr,
     )
 
 
-def _pack_numpy(A: sp.csr_matrix, TR: int):
+def _pack_numpy(A: sp.csr_matrix, TR: int, cr: int = CR_DEFAULT):
     """First-fit composite packing, pure numpy + per-entry inner loop.
     The native packer (cpp/host_kernels.cpp tile_ell_pack) implements the
     same algorithm; this is the correctness anchor and small-n path."""
+    CR = cr
     n, m = A.shape
     indptr, indices, data = A.indptr, A.indices, A.data
 
@@ -244,7 +252,8 @@ def _pad_x2d(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 def tile_ell_matvec_ref(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     x2d = _pad_x2d(A, x)
-    seg_abs = A.wb[:, None, None] + A.q8.astype(jnp.int32)  # (TC, CR, 128)
+    q = jnp.swapaxes(A.q8t.astype(jnp.int32), 1, 2)         # (TC, cr, 128)
+    seg_abs = A.wb[:, None, None] + q
     rho = jax.lax.broadcasted_iota(jnp.int32, seg_abs.shape, 2)
     comp = x2d[seg_abs, rho]                                # composite rows
     g = jnp.take_along_axis(comp, A.r8.astype(jnp.int32), axis=2)
@@ -261,12 +270,13 @@ def tile_ell_matvec_ref(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 def tile_ell_matvec_pallas(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     x2d = _pad_x2d(A, x)
-    return _tile_ell_pallas(A.vals, A.r8, A.q8, A.wb, A.tile_of,
-                            x2d, A.n_tiles)[: A.shape[0]]
+    return _tile_ell_pallas(A.vals, A.r8, A.q8t, A.wb, A.tile_of,
+                            x2d, A.n_tiles, A.cr)[: A.shape[0]]
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles",))
-def _tile_ell_pallas(vals, r8, q8, wb, tile_of, x2d, n_tiles):
+@functools.partial(jax.jit, static_argnames=("n_tiles", "CR", "stream_only"))
+def _tile_ell_pallas(vals, r8, q8t, wb, tile_of, x2d, n_tiles, CR,
+                     stream_only: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -274,50 +284,66 @@ def _tile_ell_pallas(vals, r8, q8, wb, tile_of, x2d, n_tiles):
     dtype = vals.dtype
 
     def kernel(tile_s, wb_s, q_ref, vals_ref, r_ref, x_hbm,
-               y_ref, xwin, sem):
+               y_ref, xwt, sem):
         c = pl.program_id(0)
-        prev = tile_s[jnp.maximum(c - 1, 0)]
-        new_tile = (c == 0) | (tile_s[c] != prev)
-        prev_wb = wb_s[jnp.maximum(c - 1, 0)]
-        new_win = (c == 0) | (wb_s[c] != prev_wb)
+        prev = jnp.maximum(c - 1, 0)
+        new_tile = (c == 0) | (tile_s[c] != tile_s[prev])
+        new_win = (c == 0) | (wb_s[c] != wb_s[prev])
 
         @pl.when(new_win)
         def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(wb_s[c], WIN), :], xwin, sem)
-            cp.start()
-            cp.wait()
+            # fetch the 128-row x window and transpose it once — the
+            # composite-row select below is a lane gather on Xᵀ
+            def scoped(xtmp, wsem):
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(wb_s[c], WIN), :], xtmp, wsem)
+                cp.start()
+                cp.wait()
+                xwt[...] = xtmp[...].T
+            pl.run_scoped(scoped, pltpu.VMEM((WIN, LANES), dtype),
+                          pltpu.SemaphoreType.DMA)
 
         @pl.when(new_tile)
         def _():
             y_ref[...] = jnp.zeros_like(y_ref)
 
-        q32 = q_ref[0].astype(jnp.int32)                    # (CR, 128)
-        qpad = jnp.concatenate(
-            [q32, jnp.zeros((WIN - CR, LANES), jnp.int32)], axis=0)
-        comp = jnp.take_along_axis(xwin[...], qpad, axis=0)[:CR]
-        g = jnp.take_along_axis(comp, r_ref[0].astype(jnp.int32), axis=1)
-        p = vals_ref[0] * g
-        y_ref[...] += jnp.sum(p, axis=0, keepdims=True)
+        if stream_only:
+            # perf diagnostic: stream the slot data, skip the gathers —
+            # isolates the grid/DMA floor from gather/transpose compute
+            p = vals_ref[0] + r_ref[0].astype(dtype)
+        else:
+            qt = q_ref[0].astype(jnp.int32)                 # (128, CR)
+            if CR < LANES:
+                qpad = jnp.concatenate(
+                    [qt, jnp.zeros((LANES, LANES - CR), jnp.int32)], axis=1)
+            else:
+                qpad = qt
+            G = jnp.take_along_axis(xwt[...], qpad, axis=1)  # (128, 128)
+            comp = G.T[:CR]                                  # (CR, 128)
+            g = jnp.take_along_axis(comp, r_ref[0].astype(jnp.int32), axis=1)
+            p = vals_ref[0] * g
+        # partial sums in 8 sublanes (a (1,128) output block is not a legal
+        # TPU tile); the final sublane reduction happens outside the kernel
+        y_ref[...] += p.reshape(1, CR // 8, 8, LANES).sum(axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_of, wb
         grid=(TC,),
         in_specs=[
-            pl.BlockSpec((1, CR, LANES), lambda c, ts, wbs: (c, 0, 0)),
+            pl.BlockSpec((1, LANES, CR), lambda c, ts, wbs: (c, 0, 0)),
             pl.BlockSpec((1, CR, LANES), lambda c, ts, wbs: (c, 0, 0)),
             pl.BlockSpec((1, CR, LANES), lambda c, ts, wbs: (c, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, LANES), lambda c, ts, wbs: (ts[c], 0)),
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda c, ts, wbs: (ts[c], 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((WIN, LANES), dtype),
+            pltpu.VMEM((LANES, WIN), dtype),   # transposed x window
             pltpu.SemaphoreType.DMA,
         ],
     )
-    y2d = pl.pallas_call(
+    y3d = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, LANES), dtype),
-    )(tile_of, wb, q8, vals, r8, x2d)
-    return y2d.reshape(-1)
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, LANES), dtype),
+    )(tile_of, wb, q8t, vals, r8, x2d)
+    return y3d.sum(axis=1).reshape(-1)
