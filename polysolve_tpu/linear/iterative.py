@@ -98,8 +98,8 @@ def _df64_residual_multi(is_ell, A_dev, b_hi, b_lo, x_hi, x_lo):
 
 @functools.partial(jax.jit, static_argnames=("driver", "is_ell", "restart",
                                              "max_outer"))
-def _run_krylov_df64(driver, is_ell, A_dev, pstate, b_hi, b_lo, x0, tol,
-                     inner_tol, max_iter, max_outer: int = 6,
+def _run_krylov_df64(driver, is_ell, A_dev, A_res, pstate, b_hi, b_lo, x0,
+                     tol, inner_tol, max_iter, max_outer: int = 6,
                      restart: int = 30):
     """The WHOLE mixed-precision refined solve as ONE device program: df64
     residual → fp32 inner Krylov → df64 solution update, looped on device.
@@ -122,7 +122,7 @@ def _run_krylov_df64(driver, is_ell, A_dev, pstate, b_hi, b_lo, x0, tol,
 
     x_hi = x0.astype(b_hi.dtype)
     x_lo = jnp.zeros_like(x_hi)
-    r_hi, r_lo = _df64_residual_impl(is_ell, A_dev, b_hi, b_lo, x_hi, x_lo)
+    r_hi, r_lo = _df64_residual_impl(is_ell, A_res, b_hi, b_lo, x_hi, x_lo)
 
     def cond(s):
         x_hi, x_lo, r_hi, r_lo, it, k = s
@@ -136,7 +136,7 @@ def _run_krylov_df64(driver, is_ell, A_dev, pstate, b_hi, b_lo, x0, tol,
         # guard a diverged inner sweep (the host loop's isfinite break)
         d = jnp.where(jnp.isfinite(res.x), res.x, 0.0)
         xn = df.add(df.DF(x_hi, x_lo), df.DF(d, jnp.zeros_like(d)))
-        r2_hi, r2_lo = _df64_residual_impl(is_ell, A_dev, b_hi, b_lo,
+        r2_hi, r2_lo = _df64_residual_impl(is_ell, A_res, b_hi, b_lo,
                                            xn.hi, xn.lo)
         return (xn.hi, xn.lo, r2_hi, r2_lo, it + res.iterations, k + 1)
 
@@ -177,6 +177,9 @@ class KrylovSolver(Solver):
             # on-device df64 residual sweeps, ops/df64.py)
             "refine_df64": {"type": "string", "default": "auto"},
             "max_refine_iter": leaf_i(6),
+            # unstructured Pallas SpMV format: "auto" (TPU + big + non-grid),
+            # "on", "off" (ops/tile_ell.py)
+            "tile_ell": {"type": "string", "default": "auto"},
             # nested preconditioner parameter blocks
             "Chebyshev": {
                 "degree": leaf_i(8),
@@ -195,8 +198,10 @@ class KrylovSolver(Solver):
         self.precond_num = 0
         self.A_host: Optional[sp.csr_matrix] = None
         self.A_dev = None
-        self.pstate = None
+        self.A_res = None       # df64-residual companion (ELL) when A_dev
+        self.pstate = None      # is tile-ELL; None ⇒ A_dev serves both
         self.mesh = None
+        self._perm = None       # internal RCM permutation (tile-ELL path)
         self._iters = 0
         self._error = 0.0
         self._converged = False
@@ -243,18 +248,62 @@ class KrylovSolver(Solver):
     def analyze_pattern(self, A: sp.spmatrix, precond_num: int = 0) -> None:
         self.precond_num = precond_num
 
+    # tile-ELL engages on TPU for unstructured patterns at least this big
+    # (below it the XLA-gather ELL path is latency-bound anyway)
+    tile_ell_min_rows = 16384
+
     def factorize(self, A: sp.spmatrix) -> None:
         self.A_host = sp.csr_matrix(A)
+        self._perm = None
+        self.A_res = None
         pname = self.forced_precond or self.precond_name
-        self.A_dev = self._shard_rows(ops.to_device_matrix(
-            self.A_host, block_size=self.block_size if pname != "AMG" else 1
-        ))
+        bs = self.block_size if pname != "AMG" else 1
+        A_work = self.A_host
+        dev = ops.to_device_matrix(A_work, block_size=bs)
+        from polysolve_tpu.types import ELLMatrix
+
+        if (isinstance(dev, ELLMatrix) and self._use_tile_ell()
+                and A_work.shape[0] >= self.tile_ell_min_rows):
+            # unstructured hot path: solve in RCM-permuted space with the
+            # Pallas tile-ELL kernel (iterative solvers are permutation-
+            # invariant; vectors are permuted at the solve boundary)
+            from polysolve_tpu import native
+            from polysolve_tpu.ops import tile_ell
+
+            perm = native.rcm_order(A_work)
+            if perm is None:
+                from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+                perm = np.asarray(
+                    reverse_cuthill_mckee(A_work, symmetric_mode=True),
+                    dtype=np.int64)
+            A_work = A_work[perm][:, perm].tocsr()
+            self._perm = np.asarray(perm)
+            self.A_dev = tile_ell.pack(A_work, dtype=dev.dtype)
+            # ELL companion for the df64 residual sweeps (1-2 matvecs per
+            # refinement sweep — the slow gather path is fine there)
+            self.A_res = dev if np.array_equal(perm, np.arange(len(perm))) \
+                else ops.to_device_matrix(A_work, prefer="ell")
+        else:
+            self.A_dev = self._shard_rows(dev)
         self.pstate = self._shard_rows(preconditioners.make(
-            pname, self.A_host, self.A_dev,
+            pname, A_work, self.A_dev,
             params=self._precond_params(pname),
             block_size=self.block_size, nullspace=self.nullspace,
             logger=self.logger,
         ))
+
+    def _use_tile_ell(self) -> bool:
+        import jax
+
+        mode = self.params.get("tile_ell", "auto")
+        if mode in (False, "off"):
+            return False
+        if self.driver == "LSCG":       # needs rmatvec
+            return False
+        if self._maybe_mesh() is not None:  # GSPMD route keeps plain ELL
+            return False
+        return jax.default_backend() == "tpu" or mode in (True, "on")
 
     def _precond_params(self, pname: str) -> Dict[str, Any]:
         sub = self.params.get(pname, {})
@@ -276,6 +325,9 @@ class KrylovSolver(Solver):
         B = b.reshape(b.shape[0], -1)
         X0 = (np.zeros_like(B) if x is None
               else np.asarray(x, dtype=np.float64).reshape(B.shape))
+        if self._perm is not None:  # tile-ELL solves in RCM-permuted space
+            B = B[self._perm]
+            X0 = X0[self._perm]
         refine = self._use_df64_refinement(dtype)
         if refine:
             out, iters, err, conv = self._solve_refined_block(B, X0, dtype)
@@ -308,6 +360,10 @@ class KrylovSolver(Solver):
             err = float(np.max(res.error))
             conv = bool(np.all(res.converged))
         self._iters, self._error, self._converged = iters, err, conv
+        if self._perm is not None:
+            unperm = np.empty_like(out)
+            unperm[self._perm] = out
+            out = unperm
         return out[:, 0] if squeeze else out
 
     # -- mixed-precision iterative refinement (fp32 hot loop + df64 residual,
@@ -323,8 +379,9 @@ class KrylovSolver(Solver):
         # auto: fp32 device math but a tolerance fp32 cannot reach
         from polysolve_tpu.types import ELLMatrix, DIAMatrix
 
-        return (dtype == jnp.float32 and self._tol() < 1e-6
-                and isinstance(self.A_dev, (ELLMatrix, DIAMatrix)))
+        has_res = (isinstance(self.A_dev, (ELLMatrix, DIAMatrix))
+                   or self.A_res is not None)
+        return dtype == jnp.float32 and self._tol() < 1e-6 and has_res
 
     def _solve_refined_block(self, B64, X064, dtype):
         """(n, k) df64-refined solve: residuals and inner correction solves
@@ -338,11 +395,12 @@ class KrylovSolver(Solver):
         inner_tol = max(1e-6, tol)  # what fp32 can deliver per sweep
         max_outer = int(self.params.get("max_refine_iter", 6))
         k = B64.shape[1]
+        A_res = self.A_res if self.A_res is not None else self.A_dev
         if k == 1:
             b_df = df.from_f64(B64[:, 0])
             x_hi, x_lo, it, err, conv = _run_krylov_df64(
-                self.driver, isinstance(self.A_dev, ELLMatrix),
-                self.A_dev, self.pstate,
+                self.driver, isinstance(A_res, ELLMatrix),
+                self.A_dev, A_res, self.pstate,
                 self._shard_rows(b_df.hi), self._shard_rows(b_df.lo),
                 self._shard_rows(jnp.asarray(X064[:, 0], dtype=dtype)),
                 jnp.asarray(tol, dtype=dtype),
@@ -357,7 +415,7 @@ class KrylovSolver(Solver):
         bnorm = np.maximum(np.linalg.norm(B64, axis=0), 1e-300)
         total_iters = 0
         err = np.full(k, np.inf)
-        is_ell = isinstance(self.A_dev, ELLMatrix)
+        is_ell = isinstance(A_res, ELLMatrix)
         for _ in range(max_outer):
             # one jitted device program per residual sweep (eager df64 ops
             # would be dozens of separate dispatches — pathological on
@@ -365,7 +423,7 @@ class KrylovSolver(Solver):
             b_df = df.from_f64(B64 if k > 1 else B64[:, 0])
             x_df = df.from_f64(X64 if k > 1 else X64[:, 0])
             residual = _df64_residual if k == 1 else _df64_residual_multi
-            r_hi, r_lo = residual(is_ell, self.A_dev, b_df.hi, b_df.lo,
+            r_hi, r_lo = residual(is_ell, A_res, b_df.hi, b_df.lo,
                                   x_df.hi, x_df.lo)
             r64 = (np.asarray(r_hi, np.float64)
                    + np.asarray(r_lo, np.float64)).reshape(B64.shape)
