@@ -118,25 +118,117 @@ def main():
     fraction_measured = eff_gbps / measured_gbps
     fraction_paper = eff_gbps / HBM_GBPS
 
+    detail = {
+        "n": n,
+        "nnz": nnz,
+        "effective_GBps": round(eff_gbps, 1),
+        "measured_triad_GBps": round(measured_gbps, 1),
+        "roofline_fraction_measured": round(fraction_measured, 3),
+        "roofline_fraction_paper819": round(fraction_paper, 3),
+        "kernel": "pallas_dia" if (on_tpu and tile) else "xla_fused_dia",
+        "tile": tile,
+        "compile_s": round(compile_s, 1),
+        "run_ms_100mv": round(best * 1e3, 1),
+        "platform": jax.default_backend(),
+    }
+    try:
+        detail["unstructured_spmv"] = _bench_unstructured()
+    except Exception as e:  # secondary benches never kill the primary metric
+        detail["unstructured_spmv"] = {"error": repr(e)[:200]}
+    try:
+        detail["amg_pcg"] = _bench_amg_pcg(A, x)
+    except Exception as e:
+        detail["amg_pcg"] = {"error": repr(e)[:200]}
+
     print(json.dumps({
         "metric": "spmv_poisson3d_7pt_fp32",
         "value": round(nnz_per_s / 1e9, 2),
         "unit": "Gnnz/s",
         "vs_baseline": round(fraction_measured / TARGET_FRACTION, 3),
-        "detail": {
-            "n": n,
-            "nnz": nnz,
-            "effective_GBps": round(eff_gbps, 1),
-            "measured_triad_GBps": round(measured_gbps, 1),
-            "roofline_fraction_measured": round(fraction_measured, 3),
-            "roofline_fraction_paper819": round(fraction_paper, 3),
-            "kernel": "pallas_dia" if (on_tpu and tile) else "xla_fused_dia",
-            "tile": tile,
-            "compile_s": round(compile_s, 1),
-            "run_ms_100mv": round(best * 1e3, 1),
-            "platform": jax.default_backend(),
-        },
+        "detail": detail,
     }))
+
+
+def _bench_unstructured():
+    """Tile-ELL SpMV on a ≥1M-row unstructured 3-D elasticity matrix
+    (VERDICT r1 #1: the general-matrix hot kernel, cuSPARSE CSR role)."""
+    import jax
+    import jax.numpy as jnp
+
+    from polysolve_tpu.ops import tile_ell
+
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from experiments.tile_ell_tpu import build_matrix
+
+    A = build_matrix(70)  # 1.03M rows, 49.2M nnz (cached after first build)
+    n, nnz = A.shape[0], A.nnz
+    M = tile_ell.pack(A, dtype=jnp.float32)
+    x2d = tile_ell._pad_x2d(
+        M, jnp.asarray(np.random.default_rng(0).standard_normal(n),
+                       jnp.float32))
+    cr = M.cr
+
+    @jax.jit
+    def chain(vals, r8, q8t, wb, tile_of, x2d):
+        def body(i, x2d):
+            y = tile_ell._tile_ell_pallas(vals, r8, q8t, wb, tile_of, x2d,
+                                          M.n_tiles, cr, False)
+            return jax.lax.dynamic_update_slice(
+                x2d, (y / jnp.float32(64.0))[: M.n_tiles * 128].reshape(
+                    -1, 128), (0, 0))
+
+        x2d = jax.lax.fori_loop(0, K_CHAIN, body, x2d)
+        return jnp.vdot(x2d[0], x2d[0])
+
+    args = (M.vals, M.r8, M.q8t, M.wb, M.tile_of, x2d)
+    float(chain(*args))
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(chain(*args))
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "n": n, "nnz": nnz, "padding": round(M.padding_ratio, 2),
+        "Gnnz_per_s": round(nnz * K_CHAIN / best / 1e9, 2),
+        "run_ms_per_mv": round(best * 1e3 / K_CHAIN, 2),
+        "vs_round1_xla_gather_0p13": round(
+            nnz * K_CHAIN / best / 1e9 / 0.13, 1),
+    }
+
+
+def _bench_amg_pcg(A, x_seed):
+    """Warm AMG-PCG end-to-end at n=7.08M: iterations/sec (the weak-scaling
+    north-star numerator, VERDICT r1 next-step #3)."""
+    from polysolve_tpu.linear import Solver
+
+    n = A.shape[0]
+    b = np.asarray(x_seed, np.float64)[:n]
+    s = Solver.create({
+        "solver": "AMG",
+        "AMG": {"tolerance": 1e-8, "max_iter": 200, "coarse_enough": 2000,
+                "max_levels": 6, "relax_degree": 3},
+    }, strict=False)
+    t0 = time.perf_counter()
+    s.analyze_pattern(A)
+    s.factorize(A)
+    setup_s = time.perf_counter() - t0
+    s.solve(b)                      # compile + first solve
+    t0 = time.perf_counter()
+    x = s.solve(b)                  # warm
+    solve_s = time.perf_counter() - t0
+    info = s.get_info()
+    rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
+    iters = max(int(info["num_iterations"]), 1)
+    return {
+        "n": n, "setup_s": round(setup_s, 1),
+        "warm_solve_s": round(solve_s, 2),
+        "iterations": iters,
+        "iters_per_s": round(iters / solve_s, 1),
+        "rel_residual": rel,
+        "converged": bool(info["converged"]),
+    }
 
 
 if __name__ == "__main__":
