@@ -333,7 +333,7 @@ def _tile_ell_pallas(vals, r8, q8t, wb, tile_of, x2d, n_tiles, CR,
             pl.BlockSpec((1, LANES, CR), lambda c, ts, wbs: (c, 0, 0)),
             pl.BlockSpec((1, CR, LANES), lambda c, ts, wbs: (c, 0, 0)),
             pl.BlockSpec((1, CR, LANES), lambda c, ts, wbs: (c, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 8, LANES), lambda c, ts, wbs: (ts[c], 0, 0)),
         scratch_shapes=[
