@@ -38,6 +38,7 @@ from polysolve_tpu.types import (
     ELLMatrix,
     bell_from_scipy,
     dia_from_scipy,
+    dia_matvec,
     ell_from_scipy,
 )
 

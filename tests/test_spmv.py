@@ -301,3 +301,18 @@ def test_tile_ell_facade_path(rng):
     x2 = s.solve(b, x)
     assert s.get_info()["num_iterations"] <= max(5, cold_iters // 20)
     assert np.linalg.norm(A @ x2 - b) < 1e-8 * np.linalg.norm(b)
+
+
+def test_pallas_dia_fallback_no_nameerror(rng):
+    """pallas_dia_matvec's inadmissible-tile fallback must resolve
+    dia_matvec (regression: NameError on AMG coarse DIA levels on TPU)."""
+    from polysolve_tpu.ops import spmv as spmv_mod
+    from polysolve_tpu.types import dia_from_scipy
+
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(40, 40))
+    A = sp.csr_matrix(T)
+    Ad = dia_from_scipy(A)
+    x = jnp.asarray(rng.standard_normal(40))
+    # n=40 has no admissible tile -> the fallback path runs
+    y = np.asarray(spmv_mod.pallas_dia_matvec(Ad, x))
+    assert np.linalg.norm(y - A @ np.asarray(x)) < 1e-10
