@@ -168,21 +168,21 @@ def _bench_unstructured():
     x2d = tile_ell._pad_x2d(
         M, jnp.asarray(np.random.default_rng(0).standard_normal(n),
                        jnp.float32))
-    cr = M.cr
+    nrows2d = -(-n // 128)
 
     @jax.jit
-    def chain(vals, r8, q8t, wb, tile_of, x2d):
+    def chain(vals, r8, q8t, oh8, wb, super_of, x2d):
         def body(i, x2d):
-            y = tile_ell._tile_ell_pallas(vals, r8, q8t, wb, tile_of, x2d,
-                                          M.n_tiles, cr, False)
+            y = tile_ell._tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of,
+                                          x2d, M.n_super, M.cr, M.st, False)
             return jax.lax.dynamic_update_slice(
-                x2d, (y / jnp.float32(64.0))[: M.n_tiles * 128].reshape(
+                x2d, (y / jnp.float32(64.0))[: nrows2d * 128].reshape(
                     -1, 128), (0, 0))
 
         x2d = jax.lax.fori_loop(0, K_CHAIN, body, x2d)
         return jnp.vdot(x2d[0], x2d[0])
 
-    args = (M.vals, M.r8, M.q8t, M.wb, M.tile_of, x2d)
+    args = (M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d)
     float(chain(*args))
     best = 1e9
     for _ in range(2):

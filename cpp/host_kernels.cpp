@@ -993,4 +993,173 @@ int tile_ell_fetch(const int64_t* indptr, const int32_t* indices,
   return 0;
 }
 
+
+// --------------------------------------------------------------------------
+// Supertile composite tile-ELL packer v2 (ops/tile_ell.py kernel v2):
+// chunks of CR slot-rows serve ST consecutive 128-row dest tiles (one
+// shared x window + one gather per chunk); each slot-row is tagged with a
+// single dest tile, reduced on-device by an MXU one-hot matmul. Group
+// tails round to CR once per SUPERTILE-group instead of per tile-group —
+// the padding fix for FEM tiles with only ~50 slot-rows of work.
+// --------------------------------------------------------------------------
+
+}  // extern "C"
+
+namespace {
+struct TilePlan2 {
+  std::vector<int32_t> chunk_of;  // per nnz
+  std::vector<int16_t> srow_of;   // per nnz (< CR <= 128)
+  std::vector<int8_t> q8;         // TC*CR*128 chunk-major (slot-row major)
+  std::vector<int8_t> oh;         // TC*ST*CR one-hot dest-tile rows
+  std::vector<int32_t> wb;        // TC
+  std::vector<int32_t> super_of;  // TC
+  int64_t cr = 0, st = 0;
+};
+TilePlan2 g_tile_plan2;
+}  // namespace
+
+extern "C" {
+
+// Returns total chunk count TC or -1. st = dest tiles per supertile
+// (multiple of 8), cr = slot-rows per chunk, span_cap <= 120.
+int64_t tile_ell_plan2(const int64_t* indptr, const int32_t* indices,
+                       int64_t n, int64_t cr, int64_t st, int64_t span_cap) {
+  constexpr int L = 128;
+  if (n < 0 || cr <= 0 || cr > 128 || st <= 0 || st > 127) return -1;
+  auto& P = g_tile_plan2;
+  P.cr = cr;
+  P.st = st;
+  const int64_t nnz = indptr[n];
+  P.chunk_of.assign(static_cast<size_t>(nnz), -1);
+  P.srow_of.assign(static_cast<size_t>(nnz), 0);
+  P.q8.clear();
+  P.oh.clear();
+  P.wb.clear();
+  P.super_of.clear();
+  const int64_t rows_per_super = st * L;
+  const int64_t NS = (n + rows_per_super - 1) / rows_per_super;
+
+  struct Ent {
+    int32_t seg;
+    int16_t lane;
+    int16_t dt;
+    int64_t p;
+  };
+  std::vector<Ent> ent;
+  std::vector<int16_t> qmap;   // nslots*L, -1 unset
+  std::vector<uint8_t> used;   // nslots*L
+  std::vector<int16_t> sdt;    // dest tile per slot-row
+  std::vector<int32_t> cursor(static_cast<size_t>(st) * L);
+
+  for (int64_t S = 0; S < NS; ++S) {
+    const int64_t r0 = S * rows_per_super, r1 = std::min(n, r0 + rows_per_super);
+    const int64_t lo = indptr[r0], hi = indptr[r1];
+    if (hi == lo) {  // empty supertile: one zero chunk
+      P.q8.resize(P.q8.size() + static_cast<size_t>(cr) * L, 0);
+      P.oh.resize(P.oh.size() + static_cast<size_t>(st) * cr, 0);
+      P.wb.push_back(0);
+      P.super_of.push_back(static_cast<int32_t>(S));
+      continue;
+    }
+    ent.clear();
+    ent.reserve(static_cast<size_t>(hi - lo));
+    for (int64_t r = r0; r < r1; ++r)
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p)
+        ent.push_back({indices[p] / L, static_cast<int16_t>(r % L),
+                       static_cast<int16_t>((r - r0) / L), p});
+    std::stable_sort(ent.begin(), ent.end(),
+                     [](const Ent& a, const Ent& b) { return a.seg < b.seg; });
+
+    size_t i = 0;
+    while (i < ent.size()) {
+      const int32_t base = ent[i].seg - (ent[i].seg % 8);
+      size_t j = i;
+      while (j < ent.size() && ent[j].seg - base <= span_cap) ++j;
+
+      const size_t chunk_base = P.wb.size();
+      int nslots = 0;
+      qmap.clear();
+      used.clear();
+      sdt.clear();
+      std::fill(cursor.begin(), cursor.end(), 0);
+      for (size_t e = i; e < j; ++e) {
+        const int l = ent[e].lane;
+        const int dt = ent[e].dt;
+        const int rho = indices[ent[e].p] % L;
+        const int16_t sloc = static_cast<int16_t>(ent[e].seg - base);
+        int s = cursor[static_cast<size_t>(dt) * L + l];
+        for (;; ++s) {
+          if (s >= nslots) {
+            qmap.resize(qmap.size() + L, -1);
+            used.resize(used.size() + L, 0);
+            sdt.push_back(static_cast<int16_t>(dt));
+            ++nslots;
+          }
+          if (sdt[s] != dt) continue;
+          int16_t& q = qmap[static_cast<size_t>(s) * L + rho];
+          if (!used[static_cast<size_t>(s) * L + l] &&
+              (q == -1 || q == sloc)) {
+            used[static_cast<size_t>(s) * L + l] = 1;
+            q = sloc;
+            P.chunk_of[ent[e].p] =
+                static_cast<int32_t>(chunk_base + s / cr);
+            P.srow_of[ent[e].p] = static_cast<int16_t>(s % cr);
+            cursor[static_cast<size_t>(dt) * L + l] = s;
+            break;
+          }
+        }
+      }
+      const int nch = static_cast<int>((nslots + cr - 1) / cr);
+      const size_t q8_base = P.q8.size();
+      P.q8.resize(q8_base + static_cast<size_t>(nch) * cr * L, 0);
+      const size_t oh_base = P.oh.size();
+      P.oh.resize(oh_base + static_cast<size_t>(nch) * st * cr, 0);
+      for (int s = 0; s < nslots; ++s) {
+        for (int z = 0; z < L; ++z) {
+          const int16_t v = qmap[static_cast<size_t>(s) * L + z];
+          P.q8[q8_base + static_cast<size_t>(s) * L + z] =
+              static_cast<int8_t>(v < 0 ? 0 : v);
+        }
+        const int c = s / cr, sr = s % cr;
+        P.oh[oh_base + (static_cast<size_t>(c) * st + sdt[s]) * cr + sr] = 1;
+      }
+      for (int c = 0; c < nch; ++c) {
+        P.wb.push_back(base);
+        P.super_of.push_back(static_cast<int32_t>(S));
+      }
+      i = j;
+    }
+  }
+  return static_cast<int64_t>(P.wb.size());
+}
+
+int tile_ell_fetch2(const int64_t* indptr, const int32_t* indices,
+                    const double* data, int64_t n, double* vals, int8_t* r8,
+                    int8_t* q8, int8_t* oh, int32_t* wb, int32_t* super_of) {
+  constexpr int L = 128;
+  auto& P = g_tile_plan2;
+  const int64_t cr = P.cr;
+  if (cr <= 0) return -1;
+  for (int64_t r = 0; r < n; ++r) {
+    const int l = static_cast<int>(r % L);
+    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+      if (P.chunk_of[p] < 0) return -2;  // unplaced entry (plan bug)
+      const size_t off =
+          (static_cast<size_t>(P.chunk_of[p]) * cr + P.srow_of[p]) * L + l;
+      vals[off] += data[p];
+      r8[off] = static_cast<int8_t>(indices[p] % L);
+    }
+  }
+  std::copy(P.q8.begin(), P.q8.end(), q8);
+  std::copy(P.oh.begin(), P.oh.end(), oh);
+  std::copy(P.wb.begin(), P.wb.end(), wb);
+  std::copy(P.super_of.begin(), P.super_of.end(), super_of);
+  TilePlan2 empty;
+  empty.chunk_of.swap(P.chunk_of);
+  empty.srow_of.swap(P.srow_of);
+  empty.q8.swap(P.q8);
+  empty.oh.swap(P.oh);
+  return 0;
+}
+
 }  // extern "C"

@@ -32,29 +32,30 @@ def log(res):
     print(res, flush=True)
 
 
-def run(A, cr, stream_only=False):
+def run(A, cr, st=16, stream_only=False):
     from polysolve_tpu.ops import tile_ell
 
     t0 = time.perf_counter()
-    M = tile_ell.pack(A, dtype=jnp.float32, cr=cr)
+    M = tile_ell.pack(A, dtype=jnp.float32, cr=cr, st=st)
     pack_s = time.perf_counter() - t0
     n = A.shape[0]
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
     x2d = tile_ell._pad_x2d(M, x)
+    nrows2d = -(-n // 128)
 
     @jax.jit
-    def chain(vals, r8, q8t, wb, tile_of, x2d):
+    def chain(vals, r8, q8t, oh8, wb, super_of, x2d):
         def body(i, x2d):
-            y = tile_ell._tile_ell_pallas(vals, r8, q8t, wb, tile_of, x2d,
-                                          M.n_tiles, cr, stream_only)
+            y = tile_ell._tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of,
+                                          x2d, M.n_super, cr, st, stream_only)
             y2 = y / jnp.float32(64.0)
             return jax.lax.dynamic_update_slice(
-                x2d, y2[: M.n_tiles * 128].reshape(-1, 128), (0, 0))
+                x2d, y2[: nrows2d * 128].reshape(-1, 128), (0, 0))
 
         x2d = jax.lax.fori_loop(0, CHAIN, body, x2d)
         return jnp.vdot(x2d[0], x2d[0])
 
-    args = (M.vals, M.r8, M.q8t, M.wb, M.tile_of, x2d)
+    args = (M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d)
     try:
         t0 = time.perf_counter()
         float(chain(*args))
@@ -65,7 +66,7 @@ def run(A, cr, stream_only=False):
             float(chain(*args))
             best = min(best, time.perf_counter() - t0)
         TC = M.vals.shape[0]
-        log({"cr": cr, "stream_only": stream_only, "chunks": TC,
+        log({"cr": cr, "st": st, "stream_only": stream_only, "chunks": TC,
              "padding": round(M.padding_ratio, 2),
              "pack_s": round(pack_s, 1), "compile_s": round(compile_s, 1),
              "run_ms_per_mv": round(best * 1e3 / CHAIN, 2),
@@ -79,10 +80,10 @@ def main():
     nx = 30 if SIZE == "small" else 70
     A = build_matrix(nx)
     print("n:", A.shape[0], "nnz:", A.nnz, flush=True)
-    run(A, 32, stream_only=True)
-    run(A, 32)
-    run(A, 64)
-    run(A, 128)
+    run(A, 128, 16, stream_only=True)
+    run(A, 128, 16)
+    run(A, 128, 32)
+    run(A, 64, 16)
 
 
 if __name__ == "__main__":

@@ -219,13 +219,13 @@ def unstructured_rcm():
     return A[perm][:, perm].tocsr()
 
 
-@pytest.mark.parametrize("cr", [32, 64])
-def test_tile_ell_pack_and_ref_matvec(cr, unstructured_rcm, rng):
+@pytest.mark.parametrize("cr,st", [(128, 16), (128, 8), (64, 16)])
+def test_tile_ell_pack_and_ref_matvec(cr, st, unstructured_rcm, rng):
     from polysolve_tpu.ops import tile_ell
 
     A = unstructured_rcm
-    M = tile_ell.pack(A, cr=cr)
-    assert M.cr == cr
+    M = tile_ell.pack(A, cr=cr, st=st)
+    assert M.cr == cr and M.st == st
     assert M.padding_ratio < 4.0  # composite packing, not the 6-19x scheme
     x = rng.standard_normal(A.shape[1])
     y = np.asarray(tile_ell.tile_ell_matvec_ref(M, jnp.asarray(x)))
@@ -241,9 +241,8 @@ def test_tile_ell_numpy_native_packers_agree(unstructured_rcm, rng):
     A = unstructured_rcm
     if not native.available():
         pytest.skip("native library unavailable")
-    Mn = tile_ell.pack(A)                       # native path (n is large)
-    vals, r8, q8, wb, tile_of = tile_ell._pack_numpy(
-        A, -(-A.shape[0] // 128), 32)
+    Mn = tile_ell.pack(A)                       # native path
+    vals, r8, q8, oh8, wb, super_of = tile_ell._pack_numpy(A, 128, 16)
     assert Mn.vals.shape[0] == vals.shape[0]
     x = rng.standard_normal(A.shape[1])
     y = np.asarray(tile_ell.tile_ell_matvec_ref(Mn, jnp.asarray(x)))
