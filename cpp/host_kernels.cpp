@@ -1009,11 +1009,13 @@ namespace {
 struct TilePlan2 {
   std::vector<int32_t> chunk_of;  // per nnz
   std::vector<int16_t> srow_of;   // per nnz (< CR <= 128)
+  std::vector<uint8_t> which_q;   // per nnz: 0 = qmap A, 1 = qmap B
   std::vector<int8_t> q8;         // TC*CR*128 chunk-major (slot-row major)
+  std::vector<int8_t> q8b;        // TC*CR*128 second segment map (nqm=2)
   std::vector<int8_t> oh;         // TC*ST*CR one-hot dest-tile rows
   std::vector<int32_t> wb;        // TC
   std::vector<int32_t> super_of;  // TC
-  int64_t cr = 0, st = 0;
+  int64_t cr = 0, st = 0, nqm = 1;
 };
 TilePlan2 g_tile_plan2;
 }  // namespace
@@ -1023,16 +1025,21 @@ extern "C" {
 // Returns total chunk count TC or -1. st = dest tiles per supertile
 // (multiple of 8), cr = slot-rows per chunk, span_cap <= 120.
 int64_t tile_ell_plan2(const int64_t* indptr, const int32_t* indices,
-                       int64_t n, int64_t cr, int64_t st, int64_t span_cap) {
+                       int64_t n, int64_t cr, int64_t st, int64_t span_cap,
+                       int64_t nqm) {
   constexpr int L = 128;
   if (n < 0 || cr <= 0 || cr > 128 || st <= 0 || st > 127) return -1;
+  if (nqm < 1 || nqm > 2) return -1;
   auto& P = g_tile_plan2;
   P.cr = cr;
   P.st = st;
+  P.nqm = nqm;
   const int64_t nnz = indptr[n];
   P.chunk_of.assign(static_cast<size_t>(nnz), -1);
   P.srow_of.assign(static_cast<size_t>(nnz), 0);
+  P.which_q.assign(static_cast<size_t>(nnz), 0);
   P.q8.clear();
+  P.q8b.clear();
   P.oh.clear();
   P.wb.clear();
   P.super_of.clear();
@@ -1047,6 +1054,7 @@ int64_t tile_ell_plan2(const int64_t* indptr, const int32_t* indices,
   };
   std::vector<Ent> ent;
   std::vector<int16_t> qmap;   // nslots*L, -1 unset
+  std::vector<int16_t> qmapB;  // second segment map per slot-row (nqm=2)
   std::vector<uint8_t> used;   // nslots*L
   std::vector<int16_t> sdt;    // dest tile per slot-row
   std::vector<int32_t> cursor(static_cast<size_t>(st) * L);
@@ -1056,6 +1064,7 @@ int64_t tile_ell_plan2(const int64_t* indptr, const int32_t* indices,
     const int64_t lo = indptr[r0], hi = indptr[r1];
     if (hi == lo) {  // empty supertile: one zero chunk
       P.q8.resize(P.q8.size() + static_cast<size_t>(cr) * L, 0);
+      P.q8b.resize(P.q8b.size() + static_cast<size_t>(cr) * L, 0);
       P.oh.resize(P.oh.size() + static_cast<size_t>(st) * cr, 0);
       P.wb.push_back(0);
       P.super_of.push_back(static_cast<int32_t>(S));
@@ -1079,6 +1088,7 @@ int64_t tile_ell_plan2(const int64_t* indptr, const int32_t* indices,
       const size_t chunk_base = P.wb.size();
       int nslots = 0;
       qmap.clear();
+      qmapB.clear();
       used.clear();
       sdt.clear();
       std::fill(cursor.begin(), cursor.end(), 0);
@@ -1091,19 +1101,25 @@ int64_t tile_ell_plan2(const int64_t* indptr, const int32_t* indices,
         for (;; ++s) {
           if (s >= nslots) {
             qmap.resize(qmap.size() + L, -1);
+            qmapB.resize(qmapB.size() + L, -1);
             used.resize(used.size() + L, 0);
             sdt.push_back(static_cast<int16_t>(dt));
             ++nslots;
           }
           if (sdt[s] != dt) continue;
-          int16_t& q = qmap[static_cast<size_t>(s) * L + rho];
-          if (!used[static_cast<size_t>(s) * L + l] &&
-              (q == -1 || q == sloc)) {
+          if (used[static_cast<size_t>(s) * L + l]) continue;
+          int16_t& qa = qmap[static_cast<size_t>(s) * L + rho];
+          int16_t& qb = qmapB[static_cast<size_t>(s) * L + rho];
+          int pick = -1;
+          if (qa == -1 || qa == sloc) pick = 0;
+          else if (nqm > 1 && (qb == -1 || qb == sloc)) pick = 1;
+          if (pick >= 0) {
             used[static_cast<size_t>(s) * L + l] = 1;
-            q = sloc;
+            (pick == 0 ? qa : qb) = sloc;
             P.chunk_of[ent[e].p] =
                 static_cast<int32_t>(chunk_base + s / cr);
             P.srow_of[ent[e].p] = static_cast<int16_t>(s % cr);
+            P.which_q[ent[e].p] = static_cast<uint8_t>(pick);
             cursor[static_cast<size_t>(dt) * L + l] = s;
             break;
           }
@@ -1112,13 +1128,17 @@ int64_t tile_ell_plan2(const int64_t* indptr, const int32_t* indices,
       const int nch = static_cast<int>((nslots + cr - 1) / cr);
       const size_t q8_base = P.q8.size();
       P.q8.resize(q8_base + static_cast<size_t>(nch) * cr * L, 0);
+      P.q8b.resize(q8_base + static_cast<size_t>(nch) * cr * L, 0);
       const size_t oh_base = P.oh.size();
       P.oh.resize(oh_base + static_cast<size_t>(nch) * st * cr, 0);
       for (int s = 0; s < nslots; ++s) {
         for (int z = 0; z < L; ++z) {
-          const int16_t v = qmap[static_cast<size_t>(s) * L + z];
+          const int16_t va = qmap[static_cast<size_t>(s) * L + z];
+          const int16_t vb = qmapB[static_cast<size_t>(s) * L + z];
           P.q8[q8_base + static_cast<size_t>(s) * L + z] =
-              static_cast<int8_t>(v < 0 ? 0 : v);
+              static_cast<int8_t>(va < 0 ? 0 : va);
+          P.q8b[q8_base + static_cast<size_t>(s) * L + z] =
+              static_cast<int8_t>(vb < 0 ? 0 : vb);
         }
         const int c = s / cr, sr = s % cr;
         P.oh[oh_base + (static_cast<size_t>(c) * st + sdt[s]) * cr + sr] = 1;
@@ -1133,9 +1153,12 @@ int64_t tile_ell_plan2(const int64_t* indptr, const int32_t* indices,
   return static_cast<int64_t>(P.wb.size());
 }
 
+// r8 carries the source lane in bits 0-6 and the qmap select in bit 7
+// (nqm=2); q8b receives the second segment map.
 int tile_ell_fetch2(const int64_t* indptr, const int32_t* indices,
                     const double* data, int64_t n, double* vals, int8_t* r8,
-                    int8_t* q8, int8_t* oh, int32_t* wb, int32_t* super_of) {
+                    int8_t* q8, int8_t* q8b, int8_t* oh, int32_t* wb,
+                    int32_t* super_of) {
   constexpr int L = 128;
   auto& P = g_tile_plan2;
   const int64_t cr = P.cr;
@@ -1147,17 +1170,21 @@ int tile_ell_fetch2(const int64_t* indptr, const int32_t* indices,
       const size_t off =
           (static_cast<size_t>(P.chunk_of[p]) * cr + P.srow_of[p]) * L + l;
       vals[off] += data[p];
-      r8[off] = static_cast<int8_t>(indices[p] % L);
+      r8[off] = static_cast<int8_t>((indices[p] % L) |
+                                    (P.which_q[p] ? 0x80 : 0));
     }
   }
   std::copy(P.q8.begin(), P.q8.end(), q8);
+  std::copy(P.q8b.begin(), P.q8b.end(), q8b);
   std::copy(P.oh.begin(), P.oh.end(), oh);
   std::copy(P.wb.begin(), P.wb.end(), wb);
   std::copy(P.super_of.begin(), P.super_of.end(), super_of);
   TilePlan2 empty;
   empty.chunk_of.swap(P.chunk_of);
   empty.srow_of.swap(P.srow_of);
+  empty.which_q.swap(P.which_q);
   empty.q8.swap(P.q8);
+  empty.q8b.swap(P.q8b);
   empty.oh.swap(P.oh);
   return 0;
 }

@@ -109,11 +109,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tile_ell_plan2.restype = ctypes.c_int64
         lib.tile_ell_plan2.argtypes = [_i64p, _i32p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
-                                       ctypes.c_int64]
+                                       ctypes.c_int64, ctypes.c_int64]
         lib.tile_ell_fetch2.restype = ctypes.c_int
         lib.tile_ell_fetch2.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
-                                        _f64p, _i8p, _i8p, _i8p, _i32p,
-                                        _i32p]
+                                        _f64p, _i8p, _i8p, _i8p, _i8p,
+                                        _i32p, _i32p]
     _LIB = lib
     return _LIB
 
@@ -372,10 +372,13 @@ def tile_ell_pack(A, cr: int = 32, span_cap: int = 120):
     return vals, r8, q8, wb, tile_of
 
 
-def tile_ell_pack2(A, cr: int = 128, st: int = 16, span_cap: int = 120):
+def tile_ell_pack2(A, cr: int = 128, st: int = 16, span_cap: int = 120,
+                   nqm: int = 2):
     """Supertile composite tile-ELL packing (ops/tile_ell.py v2) — native
-    first-fit with per-(dest-tile, lane) cursors. Returns
-    (vals, r8, q8, oh8, wb, super_of) or None. Serialized (global staging)."""
+    first-fit with per-(dest-tile, lane) cursors and ``nqm`` segment maps
+    per slot-row (2 halves the slot inflation from source-lane conflicts).
+    Returns (vals, r8, q8, q8b, oh8, wb, super_of) or None; r8 bit 7 selects
+    the segment map. Serialized (global staging)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "tile_ell_plan2"):
         return None
@@ -383,16 +386,17 @@ def tile_ell_pack2(A, cr: int = 128, st: int = 16, span_cap: int = 120):
     data = np.ascontiguousarray(A.data, dtype=np.float64)
     n = A.shape[0]
     with _TILE_ELL_LOCK:
-        TC = lib.tile_ell_plan2(indptr, indices, n, cr, st, span_cap)
+        TC = lib.tile_ell_plan2(indptr, indices, n, cr, st, span_cap, nqm)
         if TC <= 0:
             return None
         vals = np.zeros((TC, cr, 128), np.float64)
         r8 = np.zeros((TC, cr, 128), np.int8)
         q8 = np.zeros((TC, cr, 128), np.int8)
+        q8b = np.zeros((TC, cr, 128), np.int8)
         oh8 = np.zeros((TC, st, cr), np.int8)
         wb = np.zeros(TC, np.int32)
         super_of = np.zeros(TC, np.int32)
-        if lib.tile_ell_fetch2(indptr, indices, data, n, vals, r8, q8, oh8,
-                               wb, super_of) != 0:
+        if lib.tile_ell_fetch2(indptr, indices, data, n, vals, r8, q8, q8b,
+                               oh8, wb, super_of) != 0:
             return None
-    return vals, r8, q8, oh8, wb, super_of
+    return vals, r8, q8, q8b, oh8, wb, super_of

@@ -140,10 +140,14 @@ def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
 
     from polysolve_tpu import native
 
-    packed = native.tile_ell_pack2(A, cr=cr, st=st)
-    if packed is None:
-        packed = _pack_numpy(A, cr, st)
-    vals, r8, q8, oh8, wb, super_of = packed
+    # nqm=1: a second per-slot-row segment map was measured to recover <1%
+    # padding (the inflation is per-(group, dest-tile) lane imbalance, not
+    # source-lane conflicts) — not worth the second gather per chunk
+    packed = native.tile_ell_pack2(A, cr=cr, st=st, nqm=1)
+    if packed is not None:
+        vals, r8, q8, _q8b, oh8, wb, super_of = packed
+    else:
+        vals, r8, q8, oh8, wb, super_of = _pack_numpy(A, cr, st)
     return TileELLMatrix(
         vals=jnp.asarray(vals, dtype=dtype),
         r8=jnp.asarray(r8),
