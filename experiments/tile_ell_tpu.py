@@ -73,29 +73,29 @@ def main():
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
 
-    leaves = (M.vals, M.r8, M.q8t, M.wb, M.tile_of)
+    leaves = (M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of)
+    x2d0 = tile_ell._pad_x2d(M, x)
+    nrows2d = -(-n // 128)
 
     @jax.jit
-    def chain(vals, r8, q8t, wb, tile_of, v):
-        from polysolve_tpu.ops.tile_ell import TileELLMatrix
+    def chain(vals, r8, q8t, oh8, wb, super_of, x2d):
+        def body(i, x2d):
+            y = tile_ell._tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of,
+                                          x2d, M.n_super, M.cr, M.st, False)
+            return jax.lax.dynamic_update_slice(
+                x2d, (y / jnp.float32(64.0))[: nrows2d * 128].reshape(
+                    -1, 128), (0, 0))
 
-        Am = TileELLMatrix(vals=vals, r8=r8, q8t=q8t, wb=wb, tile_of=tile_of,
-                           shape=M.shape, nnz=M.nnz)
-
-        def body(i, v):
-            y = tile_ell.tile_ell_matvec_pallas(Am, v)
-            return y / jnp.float32(64.0)
-
-        v = jax.lax.fori_loop(0, CHAIN, body, v)
-        return jnp.vdot(v[:128], v[:128])
+        x2d = jax.lax.fori_loop(0, CHAIN, body, x2d)
+        return jnp.vdot(x2d[0], x2d[0])
 
     t0 = time.perf_counter()
-    s = float(chain(*leaves, x))
+    s = float(chain(*leaves, x2d0))
     compile_s = time.perf_counter() - t0
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        s = float(chain(*leaves, x))
+        s = float(chain(*leaves, x2d0))
         best = min(best, time.perf_counter() - t0)
 
     # correctness: one matvec vs scipy
@@ -107,8 +107,8 @@ def main():
     gnnz = nnz * CHAIN / best / 1e9
     # HBM bytes per matvec: slots*(4+1+1) + windows + y
     n_windows = int(np.sum(np.asarray(M.wb)[1:] != np.asarray(M.wb)[:-1]) + 1)
-    bytes_mv = TC * tile_ell.CR * 128 * 6 + n_windows * 128 * 128 * 4 \
-        + M.n_tiles * 128 * 4
+    bytes_mv = TC * M.cr * 128 * 6 + n_windows * 128 * 128 * 4 \
+        + M.n_super * M.st * 128 * 4
     log({"experiment": "tile_ell_spmv_tpu", "size": SIZE, "n": n, "nnz": nnz,
          "chunks": TC, "padding": round(pad, 2), "err": err,
          "build_s": round(build_s, 1), "pack_s": round(pack_s, 1),
