@@ -287,6 +287,7 @@ class AMGHierarchy:
                 dia_max_diags=512 if len(levels) > 0 else 64,
                 dia_fill_threshold=0.05 if len(levels) > 0 else 0.55,
             )
+            A_dev = _maybe_tile(A_dev, Al, params, dtype)
             if smoother == "cheb1":
                 # brackets on the Jacobi-scaled spectrum (AMGCL scale: true)
                 lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
@@ -294,8 +295,10 @@ class AMGHierarchy:
                 lo, hi = 1.0, 1.0  # unused by cheb4
             levels.append(AMGLevel(
                 A=A_dev,
-                P=None if structured else ell_from_scipy(P, dtype=dtype),
-                R=None if structured else ell_from_scipy(R, dtype=dtype),
+                P=None if structured else _maybe_tile(
+                    ell_from_scipy(P, dtype=dtype), P, params, dtype),
+                R=None if structured else _maybe_tile(
+                    ell_from_scipy(R, dtype=dtype), R, params, dtype),
                 theta=jnp.asarray((hi + lo) / 2.0, dtype=dtype),
                 delta=jnp.asarray((hi - lo) / 2.0, dtype=dtype),
                 Dinv=jnp.asarray(1.0 / d, dtype=dtype),
@@ -319,6 +322,27 @@ class AMGHierarchy:
         return AMGHierarchy(state=state, level_sizes=sizes,
                             operator_complexity=total_nnz / max(A0.nnz, 1),
                             aggregates=aggregates)
+
+
+def _maybe_tile(dev, A_host, params, dtype):
+    """Swap an ELL device operator for the Pallas tile-ELL format on TPU:
+    unstructured levels/transfers otherwise run the 0.13 Gnnz/s XLA gather.
+    Assumes the caller ordered the fine problem for banded locality
+    (AMGSolver RCM-permutes before setup); aggregation preserves it, so
+    coarse operators and P/R inherit usable windows."""
+    import jax
+
+    from polysolve_tpu.types import ELLMatrix
+
+    mode = (params or {}).get("tile_ell", "auto")
+    if mode in (False, "off") or not isinstance(dev, ELLMatrix):
+        return dev
+    on_tpu = jax.default_backend() == "tpu"
+    if mode in (True, "on") or (on_tpu and A_host.shape[0] >= (1 << 14)):
+        from polysolve_tpu.ops import tile_ell
+
+        return tile_ell.pack(A_host, dtype=dtype)
+    return dev
 
 
 def _initial_nullspace(n: int, block_size: int, nullspace) -> np.ndarray:

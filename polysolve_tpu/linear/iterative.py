@@ -489,6 +489,9 @@ def _amg_param_tree() -> Dict[str, Any]:
         # gather-free box transfers when the pattern is a detected grid
         # stencil (amg.py _detect_grid); off forces algebraic aggregation
         "structured": {"type": "bool", "default": True},
+        # unstructured levels/transfers as Pallas tile-ELL on TPU (with an
+        # internal RCM permutation of the whole problem); "auto"/"on"/"off"
+        "tile_ell": {"type": "string", "default": "auto"},
     }
 
 
@@ -566,6 +569,27 @@ class AMGSolver(KrylovSolver):
         self._hier = None
         self._pattern = None
 
+    def _amg_wants_tile(self, A: sp.csr_matrix, amg_params) -> bool:
+        """True when the hierarchy would run unstructured ELL levels on TPU
+        (→ permute + tile-ELL them)."""
+        import jax
+
+        from polysolve_tpu.linear import amg as amg_mod
+
+        mode = amg_params.get("tile_ell", "auto")
+        if mode in (False, "off"):
+            return False
+        if mode not in (True, "on"):
+            if A.shape[0] < (1 << 14) or jax.default_backend() != "tpu":
+                return False
+        if self._maybe_mesh() is not None:
+            return False
+        if bool(amg_params.get("structured", True)) \
+                and self.block_size == 1 and self.nullspace is None \
+                and amg_mod._detect_grid(self.A_host) is not None:
+            return False  # structured grid path is gather-free already
+        return True
+
     def set_parameters(self, params: Dict[str, Any]) -> None:
         """Accept the reference's nested AMGCL ptree / Hypre knobs directly
         (callers using the raw set_parameters API, reference
@@ -591,7 +615,46 @@ class AMGSolver(KrylovSolver):
         self.block_size = bs
         self.A_host = sp.csr_matrix(A)
         self.A_host.sort_indices()
-        self.A_dev = ops.to_device_matrix(self.A_host, block_size=1)
+        self._perm = None
+        self.A_res = None
+        A_work = self.A_host
+        # unstructured + TPU: solve the whole problem in RCM-permuted space
+        # so the hierarchy's levels and transfers pack into tile-ELL (the
+        # XLA gather fallback runs at 0.13 Gnnz/s); permutation-invariant
+        # for the outer Krylov, and aggregation quality is unaffected
+        amg_probe = dict(self._precond_params("AMG"))
+        amg_probe.update(
+            {k: self.params[k] for k in _amg_param_tree() if k in self.params})
+        if self._amg_wants_tile(A_work, amg_probe):
+            from polysolve_tpu import native
+
+            perm = native.rcm_order(A_work)
+            if perm is None:
+                from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+                perm = np.asarray(
+                    reverse_cuthill_mckee(A_work, symmetric_mode=True),
+                    dtype=np.int64)
+            if bs > 1:
+                # permute whole nodes so the block structure survives
+                nodes = np.asarray(perm).reshape(-1)
+                nodes = nodes[::1]
+                node_perm = np.unique(nodes // bs, return_index=True)[1]
+                node_order = (nodes // bs)[np.sort(node_perm)]
+                perm = (node_order[:, None] * bs
+                        + np.arange(bs)[None, :]).ravel()
+            A_work = A_work[perm][:, perm].tocsr()
+            self._perm = np.asarray(perm)
+        self._A_work = A_work
+        self.A_dev = ops.to_device_matrix(A_work, block_size=1)
+        from polysolve_tpu.linear import amg as _amg
+
+        self.A_dev = _amg._maybe_tile(self.A_dev, A_work, amg_probe,
+                                      self.A_dev.dtype)
+        from polysolve_tpu.ops.tile_ell import TileELLMatrix
+
+        if isinstance(self.A_dev, TileELLMatrix):
+            self.A_res = ops.to_device_matrix(A_work, prefer="ell")
         # nested "AMG" preconditioner block first (spec-injected defaults),
         # then the solver's own flat params — the user's `params["AMG"]`
         # subtree — win (they carry the explicit configuration)
@@ -601,15 +664,20 @@ class AMGSolver(KrylovSolver):
         # pattern-reuse: same sparsity ⇒ keep the aggregation, rebuild values
         # only (the reference rebuilds AMGCL fully each factorize —
         # AMGCL.cpp:148-184; we beat that, per SURVEY.md §7 hard-part #2)
-        pattern = (self.A_host.shape, self.A_host.indptr, self.A_host.indices)
+        A_work = self._A_work
+        pattern = (A_work.shape, A_work.indptr, A_work.indices)
         reuse = None
         if (self._hier is not None and self._pattern is not None
                 and self._pattern[0] == pattern[0]
                 and np.array_equal(self._pattern[1], pattern[1])
                 and np.array_equal(self._pattern[2], pattern[2])):
             reuse = self._hier.aggregates
+        nullspace = self.nullspace
+        if nullspace is not None and self._perm is not None:
+            nullspace = np.asarray(nullspace).reshape(
+                A_work.shape[0], -1)[self._perm]
         self._hier = amg_mod.AMGHierarchy.setup(
-            self.A_host, amg_params, block_size=bs, nullspace=self.nullspace,
+            A_work, amg_params, block_size=bs, nullspace=nullspace,
             logger=self.logger, reuse_aggregates=reuse,
         )
         self._pattern = pattern

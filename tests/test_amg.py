@@ -195,3 +195,37 @@ def test_smoother_option_propagates_and_helps():
         assert np.linalg.norm(A @ x - b) < 1e-8 * np.linalg.norm(b)
         iters[sm] = s.get_info()["num_iterations"]
     assert iters["cheb4"] < iters["cheb1"]
+
+
+def test_amg_tile_ell_path():
+    """AMG with tile-ELL levels forced on (the TPU unstructured path, CPU
+    interpret here): whole problem RCM-permuted, hierarchy + transfers in
+    tile-ELL, solution matches the plain-ELL path."""
+    import numpy as np
+
+    from polysolve_tpu import meshgen
+    from polysolve_tpu.linear import Solver
+    from polysolve_tpu.ops.tile_ell import TileELLMatrix
+
+    pts, cells = meshgen.delaunay_mesh(11, 11, 11, seed=3)
+    K = meshgen.elasticity_stiffness(pts, cells)
+    b = np.random.default_rng(0).standard_normal(K.shape[0])
+    xs = {}
+    for mode in ("on", "off"):
+        s = Solver.create({"solver": "AMG",
+                           "AMG": {"tolerance": 1e-10, "block_size": 3,
+                                   "structured": False, "tile_ell": mode}},
+                          strict=True)
+        s.analyze_pattern(K)
+        s.factorize(K)
+        if mode == "on":
+            assert isinstance(s.A_dev, TileELLMatrix)
+            assert s._perm is not None
+            lvl0 = s._hier.state.levels[0]
+            assert isinstance(lvl0.A, TileELLMatrix)
+            assert isinstance(lvl0.P, TileELLMatrix)
+        xs[mode] = s.solve(b)
+        rel = np.linalg.norm(K @ xs[mode] - b) / np.linalg.norm(b)
+        assert rel < 1e-7, (mode, rel)
+    assert np.linalg.norm(xs["on"] - xs["off"]) \
+        < 1e-6 * np.linalg.norm(xs["off"])
