@@ -131,14 +131,16 @@ def main():
         "run_ms_100mv": round(best * 1e3, 1),
         "platform": jax.default_backend(),
     }
-    try:
-        detail["unstructured_spmv"] = _bench_unstructured()
-    except Exception as e:  # secondary benches never kill the primary metric
-        detail["unstructured_spmv"] = {"error": repr(e)[:200]}
-    try:
-        detail["amg_pcg"] = _bench_amg_pcg(A, x)
-    except Exception as e:
-        detail["amg_pcg"] = {"error": repr(e)[:200]}
+    # secondary benches never kill (or hang) the primary metric: the remote
+    # compile helper sometimes wedges for tens of minutes — SIGALRM-bound
+    for key, fn, budget in (
+        ("unstructured_spmv", _bench_unstructured, 1200),
+        ("amg_pcg", lambda: _bench_amg_pcg(A, x), 1200),
+    ):
+        try:
+            detail[key] = _with_deadline(fn, budget)
+        except Exception as e:
+            detail[key] = {"error": repr(e)[:200]}
 
     print(json.dumps({
         "metric": "spmv_poisson3d_7pt_fp32",
@@ -147,6 +149,22 @@ def main():
         "vs_baseline": round(fraction_measured / TARGET_FRACTION, 3),
         "detail": detail,
     }))
+
+
+def _with_deadline(fn, seconds: int):
+    """Run fn with a SIGALRM deadline (main thread only)."""
+    import signal
+
+    def handler(signum, frame):
+        raise TimeoutError(f"bench section exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _bench_unstructured():
