@@ -59,6 +59,20 @@ def main():
 
     rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
     info = s.get_info()
+
+    # decompose warm-solve time: the axon tunnel ships b up (2×fp32 df64
+    # halves) and x back per solve — measure that round trip alone so the
+    # device-side solve cost is explicit
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    for _ in range(2):
+        up1 = jax.device_put(jnp.asarray(b, dtype=jnp.float32))
+        up2 = jax.device_put(jnp.asarray(b, dtype=jnp.float32))
+        jax.block_until_ready((up1, up2))
+        _ = np.asarray(up1) + np.asarray(up2)
+    transfer_s = (time.perf_counter() - t0) / 2
+
     log({
         "experiment": "amg_pcg_tpu_e2e",
         "n": n,
@@ -66,7 +80,11 @@ def main():
         "amg_setup_s": round(setup_s, 1),
         "first_solve_s": round(solve_s, 1),
         "warm_solve_s": round(solve2_s, 2),
+        "transfer_roundtrip_s": round(transfer_s, 2),
+        "device_solve_s_est": round(solve2_s - transfer_s, 2),
         "iterations": info["num_iterations"],
+        "iters_per_s_device": round(
+            info["num_iterations"] / max(solve2_s - transfer_s, 1e-9), 1),
         "rel_residual": rel,
         "converged": info["converged"],
         "platform": jax.default_backend(),

@@ -80,10 +80,9 @@ def main():
     nx = 30 if SIZE == "small" else 70
     A = build_matrix(nx)
     print("n:", A.shape[0], "nnz:", A.nnz, flush=True)
-    run(A, 128, 16, stream_only=True)
     run(A, 128, 16)
     run(A, 128, 32)
-    run(A, 64, 16)
+    run(A, 128, 16, stream_only=True)
 
 
 if __name__ == "__main__":
