@@ -337,8 +337,7 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
                 comp, r_ref[0].astype(jnp.int32), axis=1)
             p = vals_ref[0] * g                              # (CR, 128)
         oh = oh_ref[0].astype(dtype)                         # (ST, CR)
-        y_ref[...] += jnp.dot(oh, p,
-                              preferred_element_type=dtype)[None]
+        y_ref[...] += jnp.dot(oh, p, preferred_element_type=dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # super_of, wb
@@ -350,8 +349,9 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
             pl.BlockSpec((1, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, ST, LANES),
-                               lambda c, ss, wbs: (ss[c], 0, 0)),
+        # 2-D output blocks: supertile y = rows [ss·ST, (ss+1)·ST) of an
+        # (NS·ST, 128) array (3-D revisited output blocks stalled Mosaic)
+        out_specs=pl.BlockSpec((ST, LANES), lambda c, ss, wbs: (ss[c], 0)),
         scratch_shapes=[
             pltpu.VMEM((LANES, WIN), dtype),   # transposed x window
             pltpu.SemaphoreType.DMA,
@@ -360,6 +360,6 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_super, ST, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((n_super * ST, LANES), dtype),
     )(super_of, wb, q8t, oh8, vals, r8, x2d)
     return y.reshape(-1)
