@@ -1189,4 +1189,213 @@ int tile_ell_fetch2(const int64_t* indptr, const int32_t* indices,
   return 0;
 }
 
+// --------------------------------------------------------------------------
+// Supertile composite tile-ELL packer v3 (ops/tile_ell.py): ROLLING-window
+// slot-rows instead of fixed segment groups. Slot-rows carry ABSOLUTE
+// segment maps and an individual span cap; chunks are cut at CR slot-rows
+// (or when a slot-row's max segment leaves the 127-segment window of the
+// chunk's 8-aligned base). v2's per-(group, supertile) CR tail rounding
+// (2-4x padding at CR=128 on FEM bands) disappears: tails occur only at
+// supertile boundaries and span breaks, and entries near old group
+// boundaries now share slot-rows with their neighbors (less lane
+// imbalance). Same kernel contract as v2: chunks sorted by supertile, one
+// shared x window (wb) + one dest-tile one-hot per chunk, nqm=1.
+// --------------------------------------------------------------------------
+
+}  // extern "C"
+
+namespace {
+struct TilePlan3 {
+  std::vector<int32_t> chunk_of;  // per nnz
+  std::vector<int16_t> srow_of;   // per nnz (< CR <= 128)
+  std::vector<int8_t> q8;         // TC*CR*128 chunk-major (slot-row major)
+  std::vector<int8_t> oh;         // TC*ST*CR one-hot dest-tile rows
+  std::vector<int32_t> wb;        // TC
+  std::vector<int32_t> super_of;  // TC
+  int64_t cr = 0, st = 0;
+};
+TilePlan3 g_tile_plan3;
+}  // namespace
+
+extern "C" {
+
+// Returns total chunk count TC or -1. span_cap <= 120 bounds a single
+// slot-row's segment span from its own 8-aligned min (chunk windows use
+// the full 127 from the chunk base).
+int64_t tile_ell_plan3(const int64_t* indptr, const int32_t* indices,
+                       int64_t n, int64_t cr, int64_t st, int64_t span_cap) {
+  constexpr int L = 128;
+  if (n < 0 || cr <= 0 || cr > 128 || st <= 0 || st > 127) return -1;
+  if (span_cap < 8 || span_cap > 120) return -1;
+  auto& P = g_tile_plan3;
+  P.cr = cr;
+  P.st = st;
+  const int64_t nnz = indptr[n];
+  P.chunk_of.assign(static_cast<size_t>(nnz), -1);
+  P.srow_of.assign(static_cast<size_t>(nnz), 0);
+  P.q8.clear();
+  P.oh.clear();
+  P.wb.clear();
+  P.super_of.clear();
+  const int64_t rows_per_super = st * L;
+  const int64_t NS = (n + rows_per_super - 1) / rows_per_super;
+
+  struct Ent {
+    int32_t seg;
+    int16_t lane;
+    int16_t dt;
+    int64_t p;
+  };
+  std::vector<Ent> ent;
+  std::vector<int32_t> slot_loc;             // per supertile entry: slot id
+  std::vector<int32_t> qmap;                 // nslots*L abs segment, -1 unset
+  std::vector<uint8_t> used;                 // nslots*L
+  std::vector<int16_t> s_dt;                 // dest tile per slot
+  std::vector<int32_t> s_min, s_max;         // slot segment span
+  std::vector<std::vector<int32_t>> per_dt(static_cast<size_t>(st));
+  std::vector<int32_t> open_lo(static_cast<size_t>(st));
+  std::vector<int32_t> cursor(static_cast<size_t>(st) * L);
+  std::vector<int32_t> s_chunk, s_srow;      // per slot after chunk cut
+
+  const auto align8 = [](int32_t x) { return x - (x % 8); };
+
+  for (int64_t S = 0; S < NS; ++S) {
+    const int64_t r0 = S * rows_per_super, r1 = std::min(n, r0 + rows_per_super);
+    const int64_t lo = indptr[r0], hi = indptr[r1];
+    if (hi == lo) {  // empty supertile: one zero chunk
+      P.q8.resize(P.q8.size() + static_cast<size_t>(cr) * L, 0);
+      P.oh.resize(P.oh.size() + static_cast<size_t>(st) * cr, 0);
+      P.wb.push_back(0);
+      P.super_of.push_back(static_cast<int32_t>(S));
+      continue;
+    }
+    ent.clear();
+    ent.reserve(static_cast<size_t>(hi - lo));
+    for (int64_t r = r0; r < r1; ++r)
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p)
+        ent.push_back({indices[p] / L, static_cast<int16_t>(r % L),
+                       static_cast<int16_t>((r - r0) / L), p});
+    std::stable_sort(ent.begin(), ent.end(),
+                     [](const Ent& a, const Ent& b) { return a.seg < b.seg; });
+
+    slot_loc.assign(ent.size(), -1);
+    qmap.clear();
+    used.clear();
+    s_dt.clear();
+    s_min.clear();
+    s_max.clear();
+    for (auto& v : per_dt) v.clear();
+    std::fill(open_lo.begin(), open_lo.end(), 0);
+    std::fill(cursor.begin(), cursor.end(), 0);
+
+    for (size_t e = 0; e < ent.size(); ++e) {
+      const int l = ent[e].lane;
+      const int dt = ent[e].dt;
+      const int rho = indices[ent[e].p] % L;
+      const int32_t seg = ent[e].seg;
+      auto& vec = per_dt[static_cast<size_t>(dt)];
+      // prune slots whose span window can no longer reach seg
+      int32_t& olo = open_lo[static_cast<size_t>(dt)];
+      while (olo < static_cast<int32_t>(vec.size()) &&
+             seg > align8(s_min[vec[olo]]) + span_cap)
+        ++olo;
+      int32_t k = std::max(cursor[static_cast<size_t>(dt) * L + l], olo);
+      for (;; ++k) {
+        int32_t sid;
+        if (k == static_cast<int32_t>(vec.size())) {  // new slot
+          sid = static_cast<int32_t>(s_dt.size());
+          vec.push_back(sid);
+          s_dt.push_back(static_cast<int16_t>(dt));
+          s_min.push_back(seg);
+          s_max.push_back(seg);
+          qmap.resize(qmap.size() + L, -1);
+          used.resize(used.size() + L, 0);
+        } else {
+          sid = vec[k];
+          if (seg > align8(s_min[sid]) + span_cap) continue;  // closed
+          if (used[static_cast<size_t>(sid) * L + l]) continue;
+          const int32_t q = qmap[static_cast<size_t>(sid) * L + rho];
+          if (q != -1 && q != seg) continue;
+        }
+        used[static_cast<size_t>(sid) * L + l] = 1;
+        qmap[static_cast<size_t>(sid) * L + rho] = seg;
+        if (seg > s_max[sid]) s_max[sid] = seg;
+        slot_loc[e] = sid;
+        cursor[static_cast<size_t>(dt) * L + l] = k;
+        break;
+      }
+    }
+
+    // chunk cut: slots in creation order (s_min nondecreasing)
+    const int32_t nslots = static_cast<int32_t>(s_dt.size());
+    const size_t chunk_base = P.wb.size();
+    s_chunk.assign(nslots, 0);
+    s_srow.assign(nslots, 0);
+    int32_t nch = 0, count = static_cast<int32_t>(cr), base = 0;
+    for (int32_t sid = 0; sid < nslots; ++sid) {
+      if (count == static_cast<int32_t>(cr) || s_max[sid] - base > 127) {
+        base = align8(s_min[sid]);
+        P.wb.push_back(base);
+        P.super_of.push_back(static_cast<int32_t>(S));
+        ++nch;
+        count = 0;
+      }
+      s_chunk[sid] = nch - 1;
+      s_srow[sid] = count++;
+    }
+    const size_t q8_base = P.q8.size();
+    P.q8.resize(q8_base + static_cast<size_t>(nch) * cr * L, 0);
+    const size_t oh_base = P.oh.size();
+    P.oh.resize(oh_base + static_cast<size_t>(nch) * st * cr, 0);
+    for (int32_t sid = 0; sid < nslots; ++sid) {
+      const int32_t cb = P.wb[chunk_base + s_chunk[sid]];
+      const size_t row =
+          (static_cast<size_t>(s_chunk[sid]) * cr + s_srow[sid]) * L;
+      for (int z = 0; z < L; ++z) {
+        const int32_t q = qmap[static_cast<size_t>(sid) * L + z];
+        P.q8[q8_base + row + z] = static_cast<int8_t>(q < 0 ? 0 : q - cb);
+      }
+      P.oh[oh_base +
+           (static_cast<size_t>(s_chunk[sid]) * st + s_dt[sid]) * cr +
+           s_srow[sid]] = 1;
+    }
+    for (size_t e = 0; e < ent.size(); ++e) {
+      const int32_t sid = slot_loc[e];
+      P.chunk_of[ent[e].p] =
+          static_cast<int32_t>(chunk_base + s_chunk[sid]);
+      P.srow_of[ent[e].p] = static_cast<int16_t>(s_srow[sid]);
+    }
+  }
+  return static_cast<int64_t>(P.wb.size());
+}
+
+int tile_ell_fetch3(const int64_t* indptr, const int32_t* indices,
+                    const double* data, int64_t n, double* vals, int8_t* r8,
+                    int8_t* q8, int8_t* oh, int32_t* wb, int32_t* super_of) {
+  constexpr int L = 128;
+  auto& P = g_tile_plan3;
+  const int64_t cr = P.cr;
+  if (cr <= 0) return -1;
+  for (int64_t r = 0; r < n; ++r) {
+    const int l = static_cast<int>(r % L);
+    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+      if (P.chunk_of[p] < 0) return -2;  // unplaced entry (plan bug)
+      const size_t off =
+          (static_cast<size_t>(P.chunk_of[p]) * cr + P.srow_of[p]) * L + l;
+      vals[off] += data[p];
+      r8[off] = static_cast<int8_t>(indices[p] % L);
+    }
+  }
+  std::copy(P.q8.begin(), P.q8.end(), q8);
+  std::copy(P.oh.begin(), P.oh.end(), oh);
+  std::copy(P.wb.begin(), P.wb.end(), wb);
+  std::copy(P.super_of.begin(), P.super_of.end(), super_of);
+  TilePlan3 empty;
+  empty.chunk_of.swap(P.chunk_of);
+  empty.srow_of.swap(P.srow_of);
+  empty.q8.swap(P.q8);
+  empty.oh.swap(P.oh);
+  return 0;
+}
+
 }  // extern "C"

@@ -114,6 +114,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tile_ell_fetch2.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
                                         _f64p, _i8p, _i8p, _i8p, _i8p,
                                         _i32p, _i32p]
+    if hasattr(lib, "tile_ell_plan3"):
+        lib.tile_ell_plan3.restype = ctypes.c_int64
+        lib.tile_ell_plan3.argtypes = [_i64p, _i32p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64]
+        lib.tile_ell_fetch3.restype = ctypes.c_int
+        lib.tile_ell_fetch3.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
+                                        _f64p, _i8p, _i8p, _i8p,
+                                        _i32p, _i32p]
     _LIB = lib
     return _LIB
 
@@ -400,3 +409,32 @@ def tile_ell_pack2(A, cr: int = 128, st: int = 16, span_cap: int = 120,
                                oh8, wb, super_of) != 0:
             return None
     return vals, r8, q8, q8b, oh8, wb, super_of
+
+
+def tile_ell_pack3(A, cr: int = 128, st: int = 16, span_cap: int = 120):
+    """Rolling-window supertile tile-ELL packing (ops/tile_ell.py v3):
+    slot-rows carry absolute segment maps bounded by an individual span
+    cap; chunks cut at CR slot-rows (no per-group CR tail rounding — the
+    v2 padding fix for CR=128). Returns
+    (vals, r8, q8, oh8, wb, super_of) or None. Serialized (global
+    staging, the spgemm hazard lesson, ADVICE r1)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "tile_ell_plan3"):
+        return None
+    indptr, indices = _csr_arrays(A)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    n = A.shape[0]
+    with _TILE_ELL_LOCK:
+        TC = lib.tile_ell_plan3(indptr, indices, n, cr, st, span_cap)
+        if TC <= 0:
+            return None
+        vals = np.zeros((TC, cr, 128), np.float64)
+        r8 = np.zeros((TC, cr, 128), np.int8)
+        q8 = np.zeros((TC, cr, 128), np.int8)
+        oh8 = np.zeros((TC, st, cr), np.int8)
+        wb = np.zeros(TC, np.int32)
+        super_of = np.zeros(TC, np.int32)
+        if lib.tile_ell_fetch3(indptr, indices, data, n, vals, r8, q8,
+                               oh8, wb, super_of) != 0:
+            return None
+    return vals, r8, q8, oh8, wb, super_of

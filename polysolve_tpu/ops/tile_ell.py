@@ -140,12 +140,12 @@ def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
 
     from polysolve_tpu import native
 
-    # nqm=1: a second per-slot-row segment map was measured to recover <1%
-    # padding (the inflation is per-(group, dest-tile) lane imbalance, not
-    # source-lane conflicts) — not worth the second gather per chunk
-    packed = native.tile_ell_pack2(A, cr=cr, st=st, nqm=1)
+    # v3 rolling-window packer: slot-rows span their own 8-aligned windows,
+    # chunks cut at CR (no per-group CR tail rounding — v2 paid 2-4x at
+    # CR=128; a second segment map was measured to recover <1%, so nqm=1)
+    packed = native.tile_ell_pack3(A, cr=cr, st=st)
     if packed is not None:
-        vals, r8, q8, _q8b, oh8, wb, super_of = packed
+        vals, r8, q8, oh8, wb, super_of = packed
     else:
         vals, r8, q8, oh8, wb, super_of = _pack_numpy(A, cr, st)
     return TileELLMatrix(
@@ -162,9 +162,13 @@ def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
     )
 
 
-def _pack_numpy(A: sp.csr_matrix, cr: int, st: int):
-    """First-fit supertile packing, numpy + per-entry inner loop — the
-    correctness anchor for the native packer (same algorithm)."""
+def _pack_numpy(A: sp.csr_matrix, cr: int, st: int,
+                span_cap: int = GROUP_SPAN):
+    """Rolling-window first-fit supertile packing (v3), numpy + per-entry
+    inner loop — the correctness anchor for the native ``tile_ell_plan3``
+    (same algorithm): slot-rows hold ABSOLUTE segment maps bounded to
+    ``span_cap`` from their own 8-aligned min; chunks cut at CR slot-rows
+    or when a slot-row's max segment leaves the chunk base's 127-window."""
     n, m = A.shape
     indptr, indices, data = A.indptr, A.indices, A.data
     rows_per = st * LANES
@@ -188,60 +192,79 @@ def _pack_numpy(A: sp.csr_matrix, cr: int, st: int):
         rows = np.repeat(np.arange(r0, r1), np.diff(indptr[r0:r1 + 1]))
         lane = (rows % LANES).astype(np.int64)
         dt = ((rows - r0) // LANES).astype(np.int64)
-        seg = cols // LANES
-        rho = cols % LANES
+        seg = (cols // LANES).astype(np.int64)
+        rho = (cols % LANES).astype(np.int64)
 
         order = np.argsort(seg, kind="stable")
-        i = 0
-        while i < len(order):
-            base = int(seg[order[i]])
-            base -= base % 8
-            j = i
-            while j < len(order) and seg[order[j]] - base <= GROUP_SPAN:
-                j += 1
-            sel = order[i:j]
-            qmaps, used, sdt = [], [], []
-            V, R = [], []
-            cursor = np.zeros((st, LANES), np.int64)
-            for e in sel:
-                l, d_, s_, r_, v_ = (lane[e], dt[e],
-                                     int(seg[e] - base), rho[e], vals[e])
-                s = cursor[d_, l]
-                while True:
-                    if s >= len(qmaps):
-                        qmaps.append(np.full(LANES, -1, np.int64))
-                        used.append(np.zeros(LANES, bool))
-                        sdt.append(d_)
-                        V.append(np.zeros(LANES))
-                        R.append(np.zeros(LANES, np.int8))
-                    if sdt[s] == d_ and not used[s][l] \
-                            and qmaps[s][r_] in (-1, s_):
-                        used[s][l] = True
-                        qmaps[s][r_] = s_
-                        V[s][l] = v_
-                        R[s][l] = r_
-                        cursor[d_, l] = s
-                        break
-                    s += 1
-            nsl = len(qmaps)
-            nch = -(-nsl // cr)
-            Vc = np.zeros((nch, cr, LANES))
-            Rc = np.zeros((nch, cr, LANES), np.int8)
-            Qc = np.zeros((nch, cr, LANES), np.int8)
-            Oc = np.zeros((nch, st, cr), np.int8)
-            for s in range(nsl):
-                qm = np.where(qmaps[s] < 0, 0, qmaps[s])
-                Vc[s // cr, s % cr] = V[s]
-                Rc[s // cr, s % cr] = R[s]
-                Qc[s // cr, s % cr] = qm.astype(np.int8)
-                Oc[s // cr, sdt[s], s % cr] = 1
-            out["v"].append(Vc)
-            out["r"].append(Rc)
-            out["q"].append(Qc)
-            out["oh"].append(Oc)
-            out["wb"].append(np.full(nch, base, np.int32))
-            out["sup"].append(np.full(nch, S, np.int32))
-            i = j
+        # phase A: rolling-window slot-row construction (absolute qmaps)
+        qmaps, used, sdt, smin, smax, V, R = [], [], [], [], [], [], []
+        per_dt = [[] for _ in range(st)]
+        open_lo = np.zeros(st, np.int64)
+        cursor = np.zeros((st, LANES), np.int64)
+        for e in order:
+            l, d_, s_, r_, v_ = lane[e], dt[e], int(seg[e]), rho[e], vals[e]
+            vec = per_dt[d_]
+            while open_lo[d_] < len(vec) and \
+                    s_ > (smin[vec[open_lo[d_]]]
+                          - smin[vec[open_lo[d_]]] % 8 + span_cap):
+                open_lo[d_] += 1
+            k = max(cursor[d_, l], open_lo[d_])
+            while True:
+                if k == len(vec):
+                    sid = len(sdt)
+                    vec.append(sid)
+                    sdt.append(d_)
+                    smin.append(s_)
+                    smax.append(s_)
+                    qmaps.append(np.full(LANES, -1, np.int64))
+                    used.append(np.zeros(LANES, bool))
+                    V.append(np.zeros(LANES))
+                    R.append(np.zeros(LANES, np.int8))
+                else:
+                    sid = vec[k]
+                    if s_ > smin[sid] - smin[sid] % 8 + span_cap or \
+                            used[sid][l] or qmaps[sid][r_] not in (-1, s_):
+                        k += 1
+                        continue
+                used[sid][l] = True
+                qmaps[sid][r_] = s_
+                smax[sid] = max(smax[sid], s_)
+                V[sid][l] += v_
+                R[sid][l] = r_
+                cursor[d_, l] = k
+                break
+        # phase B: chunk cut in creation order (smin nondecreasing)
+        nsl = len(sdt)
+        s_chunk = np.zeros(nsl, np.int64)
+        s_srow = np.zeros(nsl, np.int64)
+        wbs = []
+        count, base = cr, 0
+        for sid in range(nsl):
+            if count == cr or smax[sid] - base > 127:
+                base = smin[sid] - smin[sid] % 8
+                wbs.append(base)
+                count = 0
+            s_chunk[sid] = len(wbs) - 1
+            s_srow[sid] = count
+            count += 1
+        nch = len(wbs)
+        Vc = np.zeros((nch, cr, LANES))
+        Rc = np.zeros((nch, cr, LANES), np.int8)
+        Qc = np.zeros((nch, cr, LANES), np.int8)
+        Oc = np.zeros((nch, st, cr), np.int8)
+        for sid in range(nsl):
+            c, sr = s_chunk[sid], s_srow[sid]
+            qm = np.where(qmaps[sid] < 0, 0, qmaps[sid] - wbs[c])
+            Vc[c, sr] = V[sid]
+            Rc[c, sr] = R[sid]
+            Qc[c, sr] = qm.astype(np.int8)
+            Oc[c, sdt[sid], sr] = 1
+        out["v"].append(Vc)
+        out["r"].append(Rc)
+        out["q"].append(Qc)
+        out["oh"].append(Oc)
+        out["wb"].append(np.asarray(wbs, np.int32))
+        out["sup"].append(np.full(nch, S, np.int32))
 
     return (np.concatenate(out["v"]), np.concatenate(out["r"]),
             np.concatenate(out["q"]), np.concatenate(out["oh"]),
