@@ -192,7 +192,7 @@ def _bench_unstructured():
     def chain(vals, r8, q8t, oh8, wb, super_of, x2d):
         def body(i, x2d):
             y = tile_ell._tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of,
-                                          x2d, M.n_super, M.cr, M.st, False)
+                                          x2d, M.n_super, M.cr, M.st, M.bs)
             return jax.lax.dynamic_update_slice(
                 x2d, (y / jnp.float32(64.0))[: nrows2d * 128].reshape(
                     -1, 128), (0, 0))

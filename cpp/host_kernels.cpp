@@ -1223,10 +1223,12 @@ extern "C" {
 // slot-row's segment span from its own 8-aligned min (chunk windows use
 // the full 127 from the chunk base).
 int64_t tile_ell_plan3(const int64_t* indptr, const int32_t* indices,
-                       int64_t n, int64_t cr, int64_t st, int64_t span_cap) {
+                       int64_t n, int64_t cr, int64_t st, int64_t span_cap,
+                       int64_t bs) {
   constexpr int L = 128;
   if (n < 0 || cr <= 0 || cr > 128 || st <= 0 || st > 127) return -1;
   if (span_cap < 8 || span_cap > 120) return -1;
+  if (bs < 1 || bs > 8) return -1;
   auto& P = g_tile_plan3;
   P.cr = cr;
   P.st = st;
@@ -1262,11 +1264,13 @@ int64_t tile_ell_plan3(const int64_t* indptr, const int32_t* indices,
   for (int64_t S = 0; S < NS; ++S) {
     const int64_t r0 = S * rows_per_super, r1 = std::min(n, r0 + rows_per_super);
     const int64_t lo = indptr[r0], hi = indptr[r1];
-    if (hi == lo) {  // empty supertile: one zero chunk
-      P.q8.resize(P.q8.size() + static_cast<size_t>(cr) * L, 0);
-      P.oh.resize(P.oh.size() + static_cast<size_t>(st) * cr, 0);
-      P.wb.push_back(0);
-      P.super_of.push_back(static_cast<int32_t>(S));
+    if (hi == lo) {  // empty supertile: bs zero chunks (one superchunk)
+      P.q8.resize(P.q8.size() + static_cast<size_t>(bs) * cr * L, 0);
+      P.oh.resize(P.oh.size() + static_cast<size_t>(bs) * st * cr, 0);
+      for (int64_t b = 0; b < bs; ++b) {
+        P.wb.push_back(0);
+        P.super_of.push_back(static_cast<int32_t>(S));
+      }
       continue;
     }
     ent.clear();
@@ -1326,22 +1330,46 @@ int64_t tile_ell_plan3(const int64_t* indptr, const int32_t* indices,
       }
     }
 
-    // chunk cut: slots in creation order (s_min nondecreasing)
+    // chunk cut: slots in creation order (s_min nondecreasing); bs
+    // consecutive chunks form a SUPERCHUNK sharing one x window (wb) —
+    // the kernel processes a whole superchunk per grid step
     const int32_t nslots = static_cast<int32_t>(s_dt.size());
     const size_t chunk_base = P.wb.size();
     s_chunk.assign(nslots, 0);
     s_srow.assign(nslots, 0);
     int32_t nch = 0, count = static_cast<int32_t>(cr), base = 0;
+    int32_t chunk_in_sc = static_cast<int32_t>(bs);
+    bool have_sc = false;
     for (int32_t sid = 0; sid < nslots; ++sid) {
-      if (count == static_cast<int32_t>(cr) || s_max[sid] - base > 127) {
-        base = align8(s_min[sid]);
+      const bool window_break = have_sc && (s_max[sid] - base > 127);
+      if (count == static_cast<int32_t>(cr) || window_break) {
+        if (!have_sc || window_break ||
+            chunk_in_sc == static_cast<int32_t>(bs)) {
+          // close the current superchunk (pad to bs chunks) and open a new
+          while (have_sc && chunk_in_sc < static_cast<int32_t>(bs)) {
+            P.wb.push_back(base);
+            P.super_of.push_back(static_cast<int32_t>(S));
+            ++nch;
+            ++chunk_in_sc;
+          }
+          base = align8(s_min[sid]);
+          chunk_in_sc = 0;
+          have_sc = true;
+        }
         P.wb.push_back(base);
         P.super_of.push_back(static_cast<int32_t>(S));
         ++nch;
+        ++chunk_in_sc;
         count = 0;
       }
       s_chunk[sid] = nch - 1;
       s_srow[sid] = count++;
+    }
+    while (have_sc && chunk_in_sc < static_cast<int32_t>(bs)) {
+      P.wb.push_back(base);
+      P.super_of.push_back(static_cast<int32_t>(S));
+      ++nch;
+      ++chunk_in_sc;
     }
     const size_t q8_base = P.q8.size();
     P.q8.resize(q8_base + static_cast<size_t>(nch) * cr * L, 0);

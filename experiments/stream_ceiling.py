@@ -44,7 +44,7 @@ def bench(name, fn, args, bytes_per_iter):
          "GBps": round(CHAIN * bytes_per_iter / best / 1e9, 1)})
 
 
-for logn in (24, 25, 26, 27):
+for logn in (24, 25, 26, 27, 28):
     ns = 1 << logn
     a = jnp.asarray(np.random.default_rng(1).standard_normal(ns), jnp.float32)
     b = jnp.asarray(np.random.default_rng(2).standard_normal(ns), jnp.float32)
@@ -63,16 +63,20 @@ for logn in (24, 25, 26, 27):
         return jnp.vdot(a[:128], a[:128])
 
     def copy2(a, b):
-        def body(i, c):
-            a2 = b + c[0]
-            return (c[0] * 0 + a2[0] * 1e-30,)
-        # copy with a loop-carried scalar so iterations serialize
-        c = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0),))
-        return c[0]
+        # the loop carries the FULL array and each iteration's output
+        # depends on the previous array's first element — the array write
+        # cannot be elided and the read of b cannot be hoisted
+        def body(i, a):
+            return b + a[0] * jnp.float32(1e-30)
+        a = jax.lax.fori_loop(0, CHAIN, body, a)
+        return jnp.vdot(a[:128], a[:128])
 
     def read2(a, b):
+        # per-iteration perturbation of the reduction operand blocks
+        # loop-invariant hoisting (fp factoring is not a legal rewrite)
         def body(i, s):
-            return s * jnp.float32(1e-30) + jnp.vdot(a, a)
+            return jnp.vdot(a * (jnp.float32(1) + s * jnp.float32(1e-38)),
+                            a) * jnp.float32(1e-6)
         return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
 
     bench(f"triad_{mb}MB", triad, (a, b), 3 * 4 * ns)

@@ -118,7 +118,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tile_ell_plan3.restype = ctypes.c_int64
         lib.tile_ell_plan3.argtypes = [_i64p, _i32p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
-                                       ctypes.c_int64]
+                                       ctypes.c_int64, ctypes.c_int64]
         lib.tile_ell_fetch3.restype = ctypes.c_int
         lib.tile_ell_fetch3.argtypes = [_i64p, _i32p, _f64p, ctypes.c_int64,
                                         _f64p, _i8p, _i8p, _i8p,
@@ -411,7 +411,8 @@ def tile_ell_pack2(A, cr: int = 128, st: int = 16, span_cap: int = 120,
     return vals, r8, q8, q8b, oh8, wb, super_of
 
 
-def tile_ell_pack3(A, cr: int = 128, st: int = 16, span_cap: int = 120):
+def tile_ell_pack3(A, cr: int = 128, st: int = 16, span_cap: int = 120,
+                   bs: int = 1):
     """Rolling-window supertile tile-ELL packing (ops/tile_ell.py v3):
     slot-rows carry absolute segment maps bounded by an individual span
     cap; chunks cut at CR slot-rows (no per-group CR tail rounding — the
@@ -425,7 +426,7 @@ def tile_ell_pack3(A, cr: int = 128, st: int = 16, span_cap: int = 120):
     data = np.ascontiguousarray(A.data, dtype=np.float64)
     n = A.shape[0]
     with _TILE_ELL_LOCK:
-        TC = lib.tile_ell_plan3(indptr, indices, n, cr, st, span_cap)
+        TC = lib.tile_ell_plan3(indptr, indices, n, cr, st, span_cap, bs)
         if TC <= 0:
             return None
         vals = np.zeros((TC, cr, 128), np.float64)

@@ -20,27 +20,31 @@ this toolchain (emulated via transposes). The format is built around that:
   lane) plus a per-source-lane segment map ``q[ρ]``: the slot at lane ``l``
   may fetch x entry ``(q[ρ], ρ)`` for any ``ρ`` — two entries conflict only
   if they need different segments from the same source lane;
-- chunks hold CR=128 slot-rows drawn from a whole supertile-group (all
-  segments within one 128-row x window): one window fetch + ONE (128,128)
-  gather serves 16384 slots, and the group tail rounds to CR once per
-  *supertile*, not per tile — measured per-tile grouping left FEM tiles
-  (~50 slot-rows each) with 3.3× padding and a 0.24 µs/chunk grid-step
-  floor; supertiles fix both.
+- slot-rows are built against ROLLING 8-aligned windows (v3 packer): each
+  carries an absolute segment map spanning ≤120 segments from its own
+  aligned min; chunks of CR=128 slot-rows are cut in creation order, and
+  ``bs`` consecutive chunks form a **superchunk** sharing one 128-row x
+  window — one window fetch + transpose and one grid step serve bs·CR·128
+  slots. (The earlier fixed-segment-group packer paid 2-4× CR tail
+  rounding at CR=128 and a 0.24 µs grid-step floor per small chunk.)
 
-SpMV per chunk:
+SpMV per chunk (bs per grid step):
   ``G    = take_along_axis(Xᵀ, qᵀ, 1)``           (lane gather, (128,128))
   ``comp = Gᵀ[:CR]``                              (composite rows)
   ``g    = take_along_axis(comp, r, 1)``          (lane crossbar)
   ``p    = vals · g``                             (fma)
-  ``y_super += OH @ p``                           (MXU: dest-tile reduce)
-where ``Xᵀ`` is transposed once per window and ``OH`` is the host-built
+  ``y_super += [OH₀|…|OH_bs] @ [p₀;…;p_bs]``      (MXU: dest-tile reduce)
+where ``Xᵀ`` is transposed once per superchunk and ``OH`` is the host-built
 (ST, CR) one-hot of each slot-row's dest tile. ``vals`` (f32) and ``q``/
-``r``/``OH`` (int8) stream through the Pallas grid pipeline — ~6.1 HBM
-bytes per slot, ~1.2-1.4× slot padding on unstructured 3-D elasticity.
+``r``/``OH`` (int8) stream through the Pallas grid pipeline — ~6.2 HBM
+bytes per slot, measured 2.9× slot padding and 11.1 Gnnz/s on a 1M-row
+unstructured 3-D elasticity matrix (experiments/tile_ell_tpu_results.jsonl;
+the round-1 XLA-gather path managed 0.13).
 
 The first-fit packer (numpy here, native C++ fast path
-``tile_ell_plan2/fetch2`` in cpp/host_kernels.cpp) uses a per-(dest-tile,
-lane) monotone cursor: placement is amortized O(1).
+``tile_ell_plan3/fetch3`` in cpp/host_kernels.cpp) uses a per-(dest-tile,
+lane) monotone cursor + per-dest-tile open-slot pruning: placement is
+amortized O(1).
 """
 
 from __future__ import annotations
@@ -60,9 +64,11 @@ from polysolve_tpu.types import default_dtype
 
 LANES = 128
 CR_DEFAULT = 128  # slot-rows per chunk
-ST_DEFAULT = 16   # dest tiles per supertile (multiple of 8)
+ST_DEFAULT = 32   # dest tiles per supertile (multiple of 8; measured best)
+BS_DEFAULT = 2    # chunks per superchunk/grid step (measured best; 4 loses
+                  # more to window-break padding than it saves in overhead)
 WIN = 128         # x2d rows per chunk window
-GROUP_SPAN = 120  # max segment span of a window group (8-align slack)
+GROUP_SPAN = 120  # max segment span of a slot-row (8-align slack)
 
 
 @struct.dataclass
@@ -94,6 +100,7 @@ class TileELLMatrix:
     nnz: int = struct.field(pytree_node=False)
     cr: int = struct.field(pytree_node=False, default=CR_DEFAULT)
     st: int = struct.field(pytree_node=False, default=ST_DEFAULT)
+    bs: int = struct.field(pytree_node=False, default=1)
 
     @property
     def dtype(self):
@@ -129,9 +136,12 @@ class TileELLMatrix:
 
 
 def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
-         st: int = ST_DEFAULT) -> TileELLMatrix:
+         st: int = ST_DEFAULT, bs: int = BS_DEFAULT) -> TileELLMatrix:
     """Pack a CSR matrix (ideally RCM/band-limited ordered) into supertile
-    composite tile-ELL. Tries the native C++ packer first; numpy fallback."""
+    composite tile-ELL. Tries the native C++ packer first; numpy fallback.
+    ``bs`` chunks form a superchunk sharing one x window — the kernel
+    processes a whole superchunk per grid step (amortizes the grid-step
+    floor, the window DMA and the window transpose)."""
     A = sp.csr_matrix(A)
     A.sum_duplicates()
     A.sort_indices()
@@ -143,11 +153,11 @@ def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
     # v3 rolling-window packer: slot-rows span their own 8-aligned windows,
     # chunks cut at CR (no per-group CR tail rounding — v2 paid 2-4x at
     # CR=128; a second segment map was measured to recover <1%, so nqm=1)
-    packed = native.tile_ell_pack3(A, cr=cr, st=st)
+    packed = native.tile_ell_pack3(A, cr=cr, st=st, bs=bs)
     if packed is not None:
         vals, r8, q8, oh8, wb, super_of = packed
     else:
-        vals, r8, q8, oh8, wb, super_of = _pack_numpy(A, cr, st)
+        vals, r8, q8, oh8, wb, super_of = _pack_numpy(A, cr, st, bs=bs)
     return TileELLMatrix(
         vals=jnp.asarray(vals, dtype=dtype),
         r8=jnp.asarray(r8),
@@ -159,11 +169,12 @@ def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
         nnz=int(A.nnz),
         cr=cr,
         st=st,
+        bs=bs,
     )
 
 
 def _pack_numpy(A: sp.csr_matrix, cr: int, st: int,
-                span_cap: int = GROUP_SPAN):
+                span_cap: int = GROUP_SPAN, bs: int = 1):
     """Rolling-window first-fit supertile packing (v3), numpy + per-entry
     inner loop — the correctness anchor for the native ``tile_ell_plan3``
     (same algorithm): slot-rows hold ABSOLUTE segment maps bounded to
@@ -180,12 +191,12 @@ def _pack_numpy(A: sp.csr_matrix, cr: int, st: int,
         r0, r1 = S * rows_per, min((S + 1) * rows_per, n)
         lo, hi = indptr[r0], indptr[r1]
         if hi == lo:
-            out["v"].append(np.zeros((1, cr, LANES)))
-            out["r"].append(np.zeros((1, cr, LANES), np.int8))
-            out["q"].append(np.zeros((1, cr, LANES), np.int8))
-            out["oh"].append(np.zeros((1, st, cr), np.int8))
-            out["wb"].append(np.zeros(1, np.int32))
-            out["sup"].append(np.full(1, S, np.int32))
+            out["v"].append(np.zeros((bs, cr, LANES)))
+            out["r"].append(np.zeros((bs, cr, LANES), np.int8))
+            out["q"].append(np.zeros((bs, cr, LANES), np.int8))
+            out["oh"].append(np.zeros((bs, st, cr), np.int8))
+            out["wb"].append(np.zeros(bs, np.int32))
+            out["sup"].append(np.full(bs, S, np.int32))
             continue
         cols = indices[lo:hi]
         vals = data[lo:hi]
@@ -233,20 +244,33 @@ def _pack_numpy(A: sp.csr_matrix, cr: int, st: int,
                 R[sid][l] = r_
                 cursor[d_, l] = k
                 break
-        # phase B: chunk cut in creation order (smin nondecreasing)
+        # phase B: chunk cut in creation order (smin nondecreasing); bs
+        # consecutive chunks form a superchunk sharing one window base
         nsl = len(sdt)
         s_chunk = np.zeros(nsl, np.int64)
         s_srow = np.zeros(nsl, np.int64)
         wbs = []
         count, base = cr, 0
+        chunk_in_sc, have_sc = bs, False
         for sid in range(nsl):
-            if count == cr or smax[sid] - base > 127:
-                base = smin[sid] - smin[sid] % 8
+            window_break = have_sc and smax[sid] - base > 127
+            if count == cr or window_break:
+                if not have_sc or window_break or chunk_in_sc == bs:
+                    while have_sc and chunk_in_sc < bs:  # pad superchunk
+                        wbs.append(base)
+                        chunk_in_sc += 1
+                    base = smin[sid] - smin[sid] % 8
+                    chunk_in_sc = 0
+                    have_sc = True
                 wbs.append(base)
+                chunk_in_sc += 1
                 count = 0
             s_chunk[sid] = len(wbs) - 1
             s_srow[sid] = count
             count += 1
+        while have_sc and chunk_in_sc < bs:
+            wbs.append(base)
+            chunk_in_sc += 1
         nch = len(wbs)
         Vc = np.zeros((nch, cr, LANES))
         Rc = np.zeros((nch, cr, LANES), np.int8)
@@ -306,18 +330,24 @@ def tile_ell_matvec_ref(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 def tile_ell_matvec_pallas(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     x2d = _pad_x2d(A, x)
     return _tile_ell_pallas(A.vals, A.r8, A.q8t, A.oh8, A.wb, A.super_of,
-                            x2d, A.n_super, A.cr, A.st)[: A.shape[0]]
+                            x2d, A.n_super, A.cr, A.st,
+                            A.bs)[: A.shape[0]]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_super", "CR", "ST", "stream_only"))
+                   static_argnames=("n_super", "CR", "ST", "BS",
+                                    "stream_only"))
 def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
-                     stream_only: bool = False):
+                     BS: int = 1, stream_only: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     TC = vals.shape[0]
     dtype = vals.dtype
+    assert TC % BS == 0, (TC, BS)
+    # per-superchunk scalar maps (wb constant within a superchunk)
+    wb_sc = wb[::BS]
+    sup_sc = super_of[::BS]
 
     def kernel(sup_s, wb_s, q_ref, oh_ref, vals_ref, r_ref, x_hbm,
                y_ref, xwt, sem):
@@ -329,8 +359,9 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
         if not stream_only:
             @pl.when(new_win)
             def _():
-                # fetch the 128-row x window and transpose it once — the
-                # composite-row select below is a lane gather on Xᵀ
+                # fetch the 128-row x window and transpose it once PER
+                # SUPERCHUNK — the composite-row select below is a lane
+                # gather on Xᵀ
                 def scoped(xtmp, wsem):
                     cp = pltpu.make_async_copy(
                         x_hbm.at[pl.ds(wb_s[c], WIN), :], xtmp, wsem)
@@ -344,11 +375,13 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
         def _():
             y_ref[...] = jnp.zeros_like(y_ref)
 
-        if stream_only:
-            # perf diagnostic: stream slot data, skip gathers
-            p = vals_ref[0] + r_ref[0].astype(dtype)
-        else:
-            qt = q_ref[0].astype(jnp.int32)                 # (128, CR)
+        ps = []
+        for b in range(BS):
+            if stream_only:
+                # perf diagnostic: stream slot data, skip gathers
+                ps.append(vals_ref[b] + r_ref[b].astype(dtype))
+                continue
+            qt = q_ref[b].astype(jnp.int32)                 # (128, CR)
             if CR < LANES:
                 qpad = jnp.concatenate(
                     [qt, jnp.zeros((LANES, LANES - CR), jnp.int32)], axis=1)
@@ -357,19 +390,22 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
             G = jnp.take_along_axis(xwt[...], qpad, axis=1)  # (128, 128)
             comp = G.T[:CR]                                  # (CR, 128)
             g = jnp.take_along_axis(
-                comp, r_ref[0].astype(jnp.int32), axis=1)
-            p = vals_ref[0] * g                              # (CR, 128)
-        oh = oh_ref[0].astype(dtype)                         # (ST, CR)
-        y_ref[...] += jnp.dot(oh, p, preferred_element_type=dtype)
+                comp, r_ref[b].astype(jnp.int32), axis=1)
+            ps.append(vals_ref[b] * g)                       # (CR, 128)
+        p = ps[0] if BS == 1 else jnp.concatenate(ps, axis=0)
+        oh = oh_ref[...].astype(dtype)                       # (BS, ST, CR)
+        ohc = oh[0] if BS == 1 else \
+            jnp.concatenate([oh[b] for b in range(BS)], axis=1)
+        y_ref[...] += jnp.dot(ohc, p, preferred_element_type=dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # super_of, wb
-        grid=(TC,),
+        num_scalar_prefetch=2,  # super_of, wb (per superchunk)
+        grid=(TC // BS,),
         in_specs=[
-            pl.BlockSpec((1, LANES, CR), lambda c, ss, wbs: (c, 0, 0)),
-            pl.BlockSpec((1, ST, CR), lambda c, ss, wbs: (c, 0, 0)),
-            pl.BlockSpec((1, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
-            pl.BlockSpec((1, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
+            pl.BlockSpec((BS, LANES, CR), lambda c, ss, wbs: (c, 0, 0)),
+            pl.BlockSpec((BS, ST, CR), lambda c, ss, wbs: (c, 0, 0)),
+            pl.BlockSpec((BS, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
+            pl.BlockSpec((BS, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         # 2-D output blocks: supertile y = rows [ss·ST, (ss+1)·ST) of an
@@ -384,5 +420,5 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_super * ST, LANES), dtype),
-    )(super_of, wb, q8t, oh8, vals, r8, x2d)
+    )(sup_sc, wb_sc, q8t, oh8, vals, r8, x2d)
     return y.reshape(-1)
