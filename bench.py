@@ -6,9 +6,10 @@ The reference publishes no numbers (BASELINE.md); the quantitative target is
 BASELINE.json's north star — SpMV ≥ 80% of the per-chip HBM roofline in
 nnz/s. ``vs_baseline`` = achieved_roofline_fraction / 0.80 (≥ 1.0 ⇒ target
 met). The roofline denominator is the *measured* stream-triad bandwidth of
-this chip (a 2-read/1-write triad through the same chained-timing harness) —
-the honest practical ceiling; the 819 GB/s paper number is reported alongside
-(experiments/spmv_pallas4.py measured 469 GB/s practical vs 819 paper).
+this chip at a working set comparable to the SpMV's (256 MB arrays; the
+practical ceiling rises with footprint — 485/567/617 GB/s at 128/256/512 MB,
+see BASELINE.md §3 and experiments/stream_ceiling.py). The 819 GB/s paper
+number is reported alongside; no measured program reaches it.
 
 Method: the production Pallas DIA kernel (ops/spmv.py), 100 matvecs chained
 inside one jitted fori_loop with a scalar readback (host-side timers on the
@@ -69,7 +70,7 @@ def main():
                     dtype=jnp.float32)
 
     # measured practical HBM ceiling: chained stream triad
-    ns = 1 << 25
+    ns = 1 << 26  # 256 MB arrays: size-matched to the SpMV working set
     xs = jnp.asarray(np.random.default_rng(1).standard_normal(ns), jnp.float32)
     ys = jnp.asarray(np.random.default_rng(2).standard_normal(ns), jnp.float32)
 
