@@ -32,7 +32,7 @@ def log(res):
     print(res, flush=True)
 
 
-def run(A, cr, st=16, bs=1, stream_only=False):
+def run(A, cr, st=16, bs=1, stream_only=False, wmode='inline'):
     from polysolve_tpu.ops import tile_ell
 
     t0 = time.perf_counter()
@@ -48,7 +48,7 @@ def run(A, cr, st=16, bs=1, stream_only=False):
         def body(i, x2d):
             y = tile_ell._tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of,
                                           x2d, M.n_super, cr, st, bs,
-                                          stream_only)
+                                          stream_only, wmode)
             y2 = y / jnp.float32(64.0)
             return jax.lax.dynamic_update_slice(
                 x2d, y2[: nrows2d * 128].reshape(-1, 128), (0, 0))
@@ -67,8 +67,8 @@ def run(A, cr, st=16, bs=1, stream_only=False):
             float(chain(*args))
             best = min(best, time.perf_counter() - t0)
         TC = M.vals.shape[0]
-        log({"cr": cr, "st": st, "bs": bs, "stream_only": stream_only,
-             "chunks": TC,
+        log({"cr": cr, "st": st, "bs": bs, "wmode": wmode,
+             "stream_only": stream_only, "chunks": TC,
              "padding": round(M.padding_ratio, 2),
              "pack_s": round(pack_s, 1), "compile_s": round(compile_s, 1),
              "run_ms_per_mv": round(best * 1e3 / CHAIN, 2),
@@ -82,9 +82,8 @@ def main():
     nx = 30 if SIZE == "small" else 70
     A = build_matrix(nx)
     print("n:", A.shape[0], "nnz:", A.nnz, flush=True)
+    run(A, 128, 32, bs=2, wmode="dbuf")
     run(A, 128, 32, bs=2)
-    run(A, 128, 32, bs=4)
-    run(A, 128, 32, bs=2, stream_only=True)
 
 
 if __name__ == "__main__":

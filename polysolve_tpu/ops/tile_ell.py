@@ -336,9 +336,14 @@ def tile_ell_matvec_pallas(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("n_super", "CR", "ST", "BS",
-                                    "stream_only"))
+                                    "stream_only", "window_mode"))
 def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
-                     BS: int = 1, stream_only: bool = False):
+                     BS: int = 1, stream_only: bool = False,
+                     window_mode: str = "inline"):
+    """window_mode: "inline" waits for each superchunk's x-window DMA on
+    the critical path; "dbuf" double-buffers it (start window c+1 before
+    computing superchunk c) — hides the DMA wait but is TPU-unvalidated on
+    this toolchain (flip the default once measured)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -348,15 +353,37 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
     # per-superchunk scalar maps (wb constant within a superchunk)
     wb_sc = wb[::BS]
     sup_sc = super_of[::BS]
+    NSC = TC // BS
+    dbuf = (window_mode == "dbuf") and not stream_only
 
     def kernel(sup_s, wb_s, q_ref, oh_ref, vals_ref, r_ref, x_hbm,
-               y_ref, xwt, sem):
+               y_ref, xwin, xwt, sem):
         c = pl.program_id(0)
         prev = jnp.maximum(c - 1, 0)
         new_super = (c == 0) | (sup_s[c] != sup_s[prev])
         new_win = (c == 0) | (wb_s[c] != wb_s[prev])
 
-        if not stream_only:
+        if dbuf:
+            slot = jax.lax.rem(c, jnp.int32(2))
+            nxt = jax.lax.rem(c + jnp.int32(1), jnp.int32(2))
+
+            @pl.when(c == 0)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(wb_s[0], WIN), :], xwin.at[0],
+                    sem.at[0]).start()
+
+            @pl.when(c + 1 < NSC)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(wb_s[c + 1], WIN), :], xwin.at[nxt],
+                    sem.at[nxt]).start()
+
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(wb_s[c], WIN), :], xwin.at[slot],
+                sem.at[slot]).wait()
+            xwt[...] = xwin[slot].T
+        elif not stream_only:
             @pl.when(new_win)
             def _():
                 # fetch the 128-row x window and transpose it once PER
@@ -400,7 +427,7 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # super_of, wb (per superchunk)
-        grid=(TC // BS,),
+        grid=(NSC,),
         in_specs=[
             pl.BlockSpec((BS, LANES, CR), lambda c, ss, wbs: (c, 0, 0)),
             pl.BlockSpec((BS, ST, CR), lambda c, ss, wbs: (c, 0, 0)),
@@ -412,8 +439,9 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
         # (NS·ST, 128) array (3-D revisited output blocks stalled Mosaic)
         out_specs=pl.BlockSpec((ST, LANES), lambda c, ss, wbs: (ss[c], 0)),
         scratch_shapes=[
+            pltpu.VMEM((2 if dbuf else 1, WIN, LANES), dtype),  # raw window
             pltpu.VMEM((LANES, WIN), dtype),   # transposed x window
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     y = pl.pallas_call(

@@ -306,6 +306,27 @@ def test_tile_ell_pallas_interpret(unstructured_rcm, rng):
     assert np.linalg.norm(y - A @ x) < 1e-12 * np.linalg.norm(A @ x)
 
 
+def test_tile_ell_window_modes_agree(unstructured_rcm, rng):
+    """inline vs double-buffered window prefetch produce identical results
+    (interpret mode; the dbuf path hides the per-superchunk x-window DMA)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from polysolve_tpu.ops import tile_ell
+
+    A = unstructured_rcm
+    M = tile_ell.pack(A, dtype=jnp.float64)
+    x = jnp.asarray(rng.standard_normal(A.shape[1]))
+    x2d = tile_ell._pad_x2d(M, x)
+    outs = []
+    for mode in ("inline", "dbuf"):
+        with pltpu.force_tpu_interpret_mode():
+            outs.append(np.asarray(tile_ell._tile_ell_pallas(
+                M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d,
+                M.n_super, M.cr, M.st, M.bs, False, mode))[: A.shape[0]])
+    assert np.array_equal(outs[0], outs[1])
+    assert np.linalg.norm(outs[0] - A @ np.asarray(x)) <         1e-10 * np.linalg.norm(A @ np.asarray(x))
+
+
 def test_tile_ell_rectangular(rng):
     """Rectangular (prolongator-shaped) operands pack and multiply."""
     from polysolve_tpu.ops import tile_ell
