@@ -240,11 +240,22 @@ def _bench_amg_pcg(A, x_seed):
     info = s.get_info()
     rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
     iters = max(int(info["num_iterations"]), 1)
+    # a warm-START solve converges in ~0 iterations: its wall time is the
+    # fixed per-solve overhead (tunnel transfer of b/x + marshalling),
+    # which dominates wall time on the remote-tunnel harness. The device
+    # iteration rate (the weak-scaling north-star numerator) is the
+    # overhead-corrected quotient.
+    t0 = time.perf_counter()
+    s.solve(b, x)
+    overhead_s = time.perf_counter() - t0
+    dev_s = max(solve_s - overhead_s, 1e-3)
     return {
         "n": n, "setup_s": round(setup_s, 1),
         "warm_solve_s": round(solve_s, 2),
+        "transfer_overhead_s": round(overhead_s, 2),
         "iterations": iters,
-        "iters_per_s": round(iters / solve_s, 1),
+        "iters_per_s_wall": round(iters / solve_s, 2),
+        "iters_per_s_device": round(iters / dev_s, 2),
         "rel_residual": rel,
         "converged": bool(info["converged"]),
     }
