@@ -68,8 +68,11 @@ class AMGLevel:
 @struct.dataclass
 class AMGState:
     levels: Tuple[AMGLevel, ...]
-    coarse_lu: jnp.ndarray
-    coarse_piv: jnp.ndarray
+    # precomputed dense inverse of the coarsest operator: apply = one MXU
+    # matvec. A triangular lu_solve is sequential substitution on TPU —
+    # measured 2.9 ms per apply at n=512 vs ~µs for the matvec (the
+    # reference inverts its coarse matrices too, MASPreconditioner.cu:798)
+    coarse_inv: jnp.ndarray
     ncycle: int = struct.field(pytree_node=False)
 
 
@@ -168,7 +171,8 @@ def cycle(state: AMGState, r: jnp.ndarray) -> jnp.ndarray:
 
     def level_solve(l: int, rl: jnp.ndarray) -> jnp.ndarray:
         if l == len(state.levels):
-            return jax.scipy.linalg.lu_solve((state.coarse_lu, state.coarse_piv), rl)
+            return jnp.dot(state.coarse_inv, rl,
+                           preferred_element_type=rl.dtype)
         lev = state.levels[l]
         z = _smooth(lev, rl)
         resid = rl - ops.matvec(lev.A, z)
@@ -288,6 +292,16 @@ class AMGHierarchy:
                 dia_fill_threshold=0.05 if len(levels) > 0 else 0.55,
             )
             A_dev = _maybe_tile(A_dev, Al, params, dtype)
+            from polysolve_tpu.types import ELLMatrix as _ELL
+            from polysolve_tpu.types import dense_from_scipy
+
+            if isinstance(A_dev, _ELL) and \
+                    Al.shape[0] <= int(params.get("dense_level", 8192)):
+                # a level that would run the ELL/XLA-gather path goes DENSE
+                # instead: one MXU matvec. The gather was measured at
+                # 24.5 ms/matvec at n=4096 (amg_cycle_profile_results.jsonl)
+                # — visited 8x per W-cycle it dominated the preconditioner
+                A_dev = dense_from_scipy(Al, dtype=dtype)
             if smoother == "cheb1":
                 # brackets on the Jacobi-scaled spectrum (AMGCL scale: true)
                 lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
@@ -313,8 +327,8 @@ class AMGHierarchy:
             total_nnz += Al.nnz
             grid = tuple(g // 2 for g in grid) if structured else None
 
-        lu, piv = _dense_lu(Al.toarray(), dtype)
-        state = AMGState(levels=tuple(levels), coarse_lu=lu, coarse_piv=piv,
+        state = AMGState(levels=tuple(levels),
+                         coarse_inv=_dense_inv(Al.toarray(), dtype),
                          ncycle=max(ncycle, 1))
         if logger:
             logger.debug("AMG hierarchy: sizes=%s complexity=%.2f",
@@ -597,6 +611,15 @@ def _spectral_radius_host(A: sp.spmatrix, iters: int = 20) -> float:
     return float(lam)
 
 
-def _dense_lu(Ac: np.ndarray, dtype):
-    lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(Ac, dtype=dtype))
-    return lu, piv
+def _dense_inv(Ac: np.ndarray, dtype):
+    """Host fp64 inverse of the coarsest operator (pinv on singular — a
+    pure-Neumann coarse Laplacian is rank-deficient and the pseudoinverse
+    is the right coarse correction for it)."""
+    try:
+        inv = np.linalg.inv(Ac)
+    except np.linalg.LinAlgError:
+        inv = np.linalg.pinv(Ac)
+    if not np.all(np.isfinite(inv)) or \
+            np.abs(inv).max() * np.abs(Ac).max() > 1e12:
+        inv = np.linalg.pinv(Ac, rcond=1e-10)
+    return jnp.asarray(inv, dtype=dtype)

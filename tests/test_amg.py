@@ -44,10 +44,13 @@ def test_galerkin_consistency():
     R = ell_to_scipy(lev.R)
     assert abs(R - P.T).max() < 1e-12
     if len(h.state.levels) > 1:
-        from polysolve_tpu.types import DIAMatrix
+        from polysolve_tpu.types import DenseOpMatrix, DIAMatrix
 
         A1 = h.state.levels[1].A
-        if isinstance(A1, DIAMatrix):
+        if isinstance(A1, DenseOpMatrix):
+            Ac = sp.csr_matrix(np.asarray(A1.vals, dtype=np.float64))
+            Ac.eliminate_zeros()
+        elif isinstance(A1, DIAMatrix):
             import numpy as _np
 
             Ac = sp.lil_matrix(A1.shape)
