@@ -19,7 +19,11 @@ Usage: python experiments/weak_scaling_model.py
 """
 
 import json
+import os
 import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import numpy as np
 import scipy.sparse as sp
@@ -28,7 +32,10 @@ sys.path.insert(0, "/root/repo")
 
 OUT = "/root/repo/experiments/weak_scaling_results.jsonl"
 
-SPMV_GNNZ = 3.2e9        # measured tile-ELL rate (experiments/tile_ell_tpu)
+SPMV_GNNZ = 11.75e9      # measured tile-ELL rate (BENCH_r02 unstructured_spmv
+                         # on this exact 1M-row elasticity fixture; the round-2
+                         # artifact ran on a stale 3.2 Gnnz/s — VERDICT r2 weak
+                         # #7: slower compute flattered the overlap story)
 ICI_GBPS = 45e9          # v5e per-link ICI, one direction
 PSUM_LAT_S = 5e-6        # small-allreduce latency per psum
 BYTES_PER_X = 4
@@ -92,5 +99,39 @@ def main():
              "weak_efficiency_modeled": round(weak_eff, 3)})
 
 
+def measured_virtual_mesh(fixed_iters: int = 50):
+    """MEASURED general-partition PCG iteration rate at 1M rows on the
+    8-virtual-device CPU mesh (VERDICT r2 next-step #8): exercises the real
+    shard_map while_loop + all_to_all halo path at scale. CPU-relative
+    timing only — 8 virtual devices share one host's cores, so the 1-vs-8
+    ratio measures collective/partition overhead, not chip scaling."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from experiments.tile_ell_tpu import build_matrix
+    from polysolve_tpu.parallel.general import DistributedGeneral
+    from polysolve_tpu.parallel.mesh import make_mesh
+
+    A = build_matrix(70)
+    n, nnz = A.shape[0], A.nnz
+    b = np.random.default_rng(0).standard_normal(n)
+    for D in (1, 8):
+        dg = DistributedGeneral(A, make_mesh(D), dtype=jnp.float32)
+        # tol=0 ⇒ the loop runs exactly max_iter iterations (no early exit)
+        dg.solve(b, tol=0.0, max_iter=2)        # compile
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _, k, _ = dg.solve(b, tol=0.0, max_iter=fixed_iters)
+            best = min(best, time.perf_counter() - t0)
+        log({"case": f"measured_cpu_mesh_D{D}", "D": D, "n": n, "nnz": nnz,
+             "iterations": int(k), "wall_s": round(best, 2),
+             "iters_per_s": round(int(k) / best, 2),
+             "platform": "cpu_virtual_mesh"})
+
+
 if __name__ == "__main__":
     main()
+    measured_virtual_mesh()

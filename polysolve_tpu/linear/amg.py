@@ -23,6 +23,7 @@ recursion over a *static* level index — XLA unrolls it into one fused program.
 
 from __future__ import annotations
 
+import functools
 import logging
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
@@ -74,6 +75,10 @@ class AMGState:
     # reference inverts its coarse matrices too, MASPreconditioner.cu:798)
     coarse_inv: jnp.ndarray
     ncycle: int = struct.field(pytree_node=False)
+    # AMG iterations per preconditioner application — the Hypre
+    # ``pre_max_iter`` knob (HYPRE_BoomerAMGSetMaxIter on the precond
+    # instance, reference HypreSolver.cpp:50-52, :186-189)
+    pre_cycles: int = struct.field(pytree_node=False, default=1)
 
 
 def chebyshev1(A, theta, delta, degree: int, r, Dinv=None):
@@ -128,26 +133,43 @@ def _smooth(lev: "AMGLevel", r):
                       Dinv=lev.Dinv)
 
 
+@functools.lru_cache(maxsize=64)
+def _expand_matrix(g: int) -> np.ndarray:
+    """(g, g//2) one-hot: E[f, c] = 1 iff f // 2 == c (box membership)."""
+    E = np.zeros((g, g // 2), dtype=np.float32)
+    E[np.arange(g), np.arange(g) // 2] = 1.0
+    return E
+
+
 def _t_apply(grid, xc: jnp.ndarray) -> jnp.ndarray:
     """Structured tentative prolongation: coarse value broadcast over its
-    2^d box, scaled 1/√(2^d) (matches the QR-normalized indicator columns)."""
+    2^d box, scaled 1/√(2^d) (matches the QR-normalized indicator columns).
+
+    Implemented as one small dense matmul per axis (tensordot with the
+    (g, g/2) one-hot): pure MXU work with contiguous layouts. The previous
+    ``jnp.repeat``-per-axis chain forced lane-interleaving relayouts on TPU
+    — measured 11 ms per restrict+prolong pair at n=7.08M vs ~0.5 ms of
+    raw bandwidth (experiments/amg_cycle_profile_results.jsonl m=192)."""
     d = len(grid)
     cg = tuple(g // 2 for g in grid)
     x = xc.reshape(cg)
-    for ax in range(d):
-        x = jnp.repeat(x, 2, axis=ax)
-    return x.reshape(-1) * (1.0 / np.sqrt(2.0 ** d)).astype(xc.dtype)
+    for ax, g in enumerate(grid):
+        E = jnp.asarray(_expand_matrix(g), dtype=xc.dtype)
+        # contract the coarse axis with E's column index; the fine axis
+        # lands at the end — move it back in place
+        x = jnp.moveaxis(jnp.tensordot(x, E, axes=[[ax], [1]]), -1, ax)
+    return x.reshape(-1) * np.float64(1.0 / np.sqrt(2.0 ** d)).astype(xc.dtype)
 
 
 def _tT_apply(grid, y: jnp.ndarray) -> jnp.ndarray:
-    """Adjoint of _t_apply: sum over each 2^d box (pure reshape-sum)."""
+    """Adjoint of _t_apply: sum over each 2^d box — the same axis-wise
+    one-hot contraction with E transposed."""
     d = len(grid)
-    shape = []
-    for g in grid:
-        shape.extend([g // 2, 2])
-    y = y.reshape(shape)
-    y = y.sum(axis=tuple(range(1, 2 * d, 2)))
-    return y.reshape(-1) * (1.0 / np.sqrt(2.0 ** d)).astype(y.dtype)
+    x = y.reshape(grid)
+    for ax, g in enumerate(grid):
+        E = jnp.asarray(_expand_matrix(g), dtype=y.dtype)
+        x = jnp.moveaxis(jnp.tensordot(x, E, axes=[[ax], [0]]), -1, ax)
+    return x.reshape(-1) * np.float64(1.0 / np.sqrt(2.0 ** d)).astype(y.dtype)
 
 
 def _p_apply(lev: AMGLevel, zc: jnp.ndarray) -> jnp.ndarray:
@@ -165,9 +187,11 @@ def _r_apply(lev: AMGLevel, y: jnp.ndarray) -> jnp.ndarray:
     return ops.matvec(lev.R, y)
 
 
-def cycle(state: AMGState, r: jnp.ndarray) -> jnp.ndarray:
+def cycle(state: AMGState, r: jnp.ndarray, start: int = 0) -> jnp.ndarray:
     """One multigrid cycle applied to residual r (zero initial guess) —
-    usable directly as a CG preconditioner (symmetric V-cycle)."""
+    usable directly as a CG preconditioner (symmetric V-cycle).
+    ``start`` begins the recursion at a coarser level (profiling and
+    truncated-cycle uses; r must then be a level-``start`` vector)."""
 
     def level_solve(l: int, rl: jnp.ndarray) -> jnp.ndarray:
         if l == len(state.levels):
@@ -186,7 +210,20 @@ def cycle(state: AMGState, r: jnp.ndarray) -> jnp.ndarray:
         z = z + _smooth(lev, rl - ops.matvec(lev.A, z))
         return z
 
-    return level_solve(0, r)
+    return level_solve(start, r)
+
+
+def apply_preconditioner(state: AMGState, r: jnp.ndarray) -> jnp.ndarray:
+    """``pre_cycles`` AMG iterations on residual r (zero initial guess) —
+    the preconditioner application. pre_cycles > 1 chains cycles through
+    residual correction (the Hypre ``pre_max_iter`` semantics,
+    HypreSolver.cpp:186-189). Symmetric for even/odd counts since each
+    cycle is itself a symmetric operator."""
+    z = cycle(state, r)
+    if state.levels:
+        for _ in range(state.pre_cycles - 1):
+            z = z + cycle(state, r - ops.matvec(state.levels[0].A, z))
+    return z
 
 
 # --------------------------------------------------------------------------- #
@@ -283,25 +320,38 @@ class AMGHierarchy:
                 Ac = sp.csr_matrix(R @ Al @ P)
             Ac.eliminate_zeros()
 
+            # coarse stencils carry more diagonals; DIA stays worthwhile far
+            # below the generic fill threshold because the alternative is an
+            # XLA gather (0.13 Gnnz/s measured). The per-level diag cap is a
+            # byte budget (DIA stores/streams K·n·4 B per matvec regardless
+            # of fill), so deep structured levels with K~700 stay DIA —
+            # at m=192 the 24³ level (n=13824) previously overflowed the
+            # fixed 512 cap and fell to the ELL gather path, which alone
+            # dominated the whole V-cycle.
+            dia_cap = (min(2048, max(64, (256 << 20) // (4 * Al.shape[0])))
+                       if len(levels) > 0 else 64)
             A_dev = ops.to_device_matrix(
                 Al, dtype=dtype,
-                # coarse stencils carry more diagonals; DIA stays worthwhile
-                # far below the generic fill threshold because the
-                # alternative is an XLA gather (0.13 Gnnz/s measured)
-                dia_max_diags=512 if len(levels) > 0 else 64,
-                dia_fill_threshold=0.05 if len(levels) > 0 else 0.55,
+                dia_max_diags=dia_cap,
+                dia_fill_threshold=0.02 if len(levels) > 0 else 0.55,
             )
-            A_dev = _maybe_tile(A_dev, Al, params, dtype)
             from polysolve_tpu.types import ELLMatrix as _ELL
             from polysolve_tpu.types import dense_from_scipy
 
             if isinstance(A_dev, _ELL) and \
-                    Al.shape[0] <= int(params.get("dense_level", 8192)):
+                    params.get("tile_ell") not in (True, "on") and \
+                    Al.shape[0] <= int(params.get("dense_level", 4096)):
                 # a level that would run the ELL/XLA-gather path goes DENSE
                 # instead: one MXU matvec. The gather was measured at
                 # 24.5 ms/matvec at n=4096 (amg_cycle_profile_results.jsonl)
-                # — visited 8x per W-cycle it dominated the preconditioner
+                # — visited 8x per W-cycle it dominated the preconditioner.
+                # NOTE dense is O(n²) memory: 64 MB fp32 at the 4096 default
+                # cap, per qualifying level — raise ``dense_level`` with care
                 A_dev = dense_from_scipy(Al, dtype=dtype)
+            else:
+                # anything still ELL runs tile-ELL on TPU (threshold 4096 —
+                # no dead zone between the dense cap and the tile path)
+                A_dev = _maybe_tile(A_dev, Al, params, dtype)
             if smoother == "cheb1":
                 # brackets on the Jacobi-scaled spectrum (AMGCL scale: true)
                 lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
@@ -329,7 +379,8 @@ class AMGHierarchy:
 
         state = AMGState(levels=tuple(levels),
                          coarse_inv=_dense_inv(Al.toarray(), dtype),
-                         ncycle=max(ncycle, 1))
+                         ncycle=max(ncycle, 1),
+                         pre_cycles=max(int(params.get("pre_max_iter", 1)), 1))
         if logger:
             logger.debug("AMG hierarchy: sizes=%s complexity=%.2f",
                          sizes, total_nnz / max(A0.nnz, 1))
@@ -352,7 +403,7 @@ def _maybe_tile(dev, A_host, params, dtype):
     if mode in (False, "off") or not isinstance(dev, ELLMatrix):
         return dev
     on_tpu = jax.default_backend() == "tpu"
-    if mode in (True, "on") or (on_tpu and A_host.shape[0] >= (1 << 14)):
+    if mode in (True, "on") or (on_tpu and A_host.shape[0] >= 4096):
         from polysolve_tpu.ops import tile_ell
 
         return tile_ell.pack(A_host, dtype=dtype)
@@ -614,12 +665,30 @@ def _spectral_radius_host(A: sp.spmatrix, iters: int = 20) -> float:
 def _dense_inv(Ac: np.ndarray, dtype):
     """Host fp64 inverse of the coarsest operator (pinv on singular — a
     pure-Neumann coarse Laplacian is rank-deficient and the pseudoinverse
-    is the right coarse correction for it)."""
+    is the right coarse correction for it). The fallback trigger is the
+    1-norm condition number κ₁ = ‖A‖₁·‖A⁻¹‖₁ (a true condition estimate,
+    free once the inverse exists — not an entrywise proxy), so a merely
+    large-entried but well-conditioned coarse operator keeps its exact
+    inverse and cycle()'s 'coarsest solve is exact' assumption holds."""
+    inv = None
     try:
         inv = np.linalg.inv(Ac)
     except np.linalg.LinAlgError:
-        inv = np.linalg.pinv(Ac)
-    if not np.all(np.isfinite(inv)) or \
-            np.abs(inv).max() * np.abs(Ac).max() > 1e12:
-        inv = np.linalg.pinv(Ac, rcond=1e-10)
+        pass
+    if inv is not None and np.all(np.isfinite(inv)):
+        norm1 = np.abs(Ac).sum(axis=0).max()
+        cond1 = norm1 * np.abs(inv).sum(axis=0).max()
+        if cond1 < 1e12:
+            return jnp.asarray(inv, dtype=dtype)
+        logging.getLogger(__name__).debug(
+            "coarse operator κ₁≈%.2e — using pseudoinverse (rank-revealing)",
+            cond1)
+    else:
+        logging.getLogger(__name__).debug(
+            "coarse operator numerically singular — using pseudoinverse")
+    # tight rcond: drop only the genuinely tiny tail (nullspace modes — the
+    # fp64 noise floor of the largest singular value), keep small-but-real
+    # singular values of an ill-conditioned-yet-nonsingular operator
+    rcond = np.finfo(np.float64).eps * max(Ac.shape) * 10
+    inv = np.linalg.pinv(Ac, rcond=rcond)
     return jnp.asarray(inv, dtype=dtype)

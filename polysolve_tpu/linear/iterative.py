@@ -31,11 +31,12 @@ from polysolve_tpu.types import default_dtype
 
 
 def _krylov_dispatch(driver: str, A_dev, pstate, b, x0, tol, max_iter, atol,
-                     restart: int):
+                     restart: int, precond_resid: bool = False):
     mv = lambda v: ops.matvec(A_dev, v)
     pc = lambda r: preconditioners.apply(pstate, r)
     if driver == "CG":
-        return krylov.cg(mv, b, x0, pc, tol, max_iter, atol=atol)
+        return krylov.cg(mv, b, x0, pc, tol, max_iter, atol=atol,
+                         use_preconditioned_residual_norm=precond_resid)
     if driver == "BiCGSTAB":
         return krylov.bicgstab(mv, b, x0, pc, tol, max_iter)
     if driver == "MINRES":
@@ -48,11 +49,12 @@ def _krylov_dispatch(driver: str, A_dev, pstate, b, x0, tol, max_iter, atol,
     raise ValueError(driver)
 
 
-@functools.partial(jax.jit, static_argnames=("driver", "restart"))
+@functools.partial(jax.jit, static_argnames=("driver", "restart",
+                                             "precond_resid"))
 def _run_krylov(driver: str, A_dev, pstate, b, x0, tol, max_iter, atol=0.0,
-                restart: int = 30):
+                restart: int = 30, precond_resid: bool = False):
     return _krylov_dispatch(driver, A_dev, pstate, b, x0, tol, max_iter, atol,
-                            restart)
+                            restart, precond_resid)
 
 
 @functools.partial(jax.jit, static_argnames=("driver", "restart"))
@@ -340,6 +342,10 @@ class KrylovSolver(Solver):
                 jnp.int32(self._max_iter()),
                 atol=jnp.asarray(self._atol(), dtype=dtype),
                 restart=int(self.params.get("restart", 30)),
+                # MAS-style M-norm convergence test (MASSolver.cu:531-546);
+                # only CG honors it — the spec only exposes it on MAS
+                precond_resid=bool(self.params.get(
+                    "use_preconditioned_residual_norm", False)),
             )
             out = np.asarray(res.x, dtype=np.float64)[:, None]
             iters, err = int(res.iterations), float(res.error)
@@ -664,6 +670,19 @@ class AMGSolver(KrylovSolver):
         amg_params = dict(self._precond_params("AMG"))
         amg_params.update(
             {k: self.params[k] for k in _amg_param_tree() if k in self.params})
+        # Hypre knobs (HypreSolver.cpp:50-52): pre_max_iter = AMG iterations
+        # per preconditioner application; theta = the strong-coupling
+        # threshold (BoomerAMG strong_threshold ↔ eps_strong here) — theta
+        # only under the Hypre alias, where the reference default 0.25 is
+        # the configured semantic (spec-injected on every AMG otherwise)
+        if "pre_max_iter" in self.params:
+            amg_params.setdefault("pre_max_iter",
+                                  int(self.params["pre_max_iter"]))
+        if self.name() == "Hypre" and "theta" in self.params and \
+                float(amg_params.get("eps_strong", 0.08)) == 0.08:
+            # eps_strong still at its spec default ⇒ the Hypre theta is the
+            # user's (or BoomerAMG's 0.25 default) strong threshold
+            amg_params["eps_strong"] = float(self.params["theta"])
         # pattern-reuse: same sparsity ⇒ keep the aggregation, rebuild values
         # only (the reference rebuilds AMGCL fully each factorize —
         # AMGCL.cpp:148-184; we beat that, per SURVEY.md §7 hard-part #2)

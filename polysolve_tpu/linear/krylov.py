@@ -53,13 +53,18 @@ def _safe_div(num, den, eps=0.0):
 
 def cg(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
        tol: float, max_iter: int, recompute_every: int = 64,
-       atol: float = 0.0) -> KrylovResult:
+       atol: float = 0.0,
+       use_preconditioned_residual_norm: bool = False) -> KrylovResult:
     """PCG with periodic true-residual recomputation (the MAS trick,
     MASSolver.cu:509-520, which keeps long solves honest in fp32).
     Converges when ‖r‖ ≤ max(tol·‖b‖, atol) — the relative/absolute pair is
-    the MAS convergence rule (MASSolver.cu:138-143)."""
+    the MAS convergence rule (MASSolver.cu:138-143).
+
+    ``use_preconditioned_residual_norm`` switches the convergence test to
+    the M⁻¹-norm of the residual: rz ≤ tol²·rz₀ or rz ≤ atol², with
+    rz = rᵀM⁻¹r and rz₀ its initial value (reference MASSolver.cu:531-546 —
+    relative to the INITIAL preconditioned residual, not to ‖b‖)."""
     bnorm2 = jnp.vdot(b, b)
-    thresh = jnp.maximum(tol * tol * bnorm2, atol * atol)
 
     r0 = b - matvec(x0)
     z0 = precond(r0)
@@ -67,9 +72,15 @@ def cg(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
     rz0 = jnp.vdot(r0, z0)
     rr0 = jnp.vdot(r0, r0)
 
+    if use_preconditioned_residual_norm:
+        thresh = jnp.maximum(tol * tol * rz0, atol * atol)
+    else:
+        thresh = jnp.maximum(tol * tol * bnorm2, atol * atol)
+
     def cond(state):
         x, r, p, rz, rr, k = state
-        return (k < max_iter) & (rr > thresh)
+        q = rz if use_preconditioned_residual_norm else rr
+        return (k < max_iter) & (q > thresh)
 
     def body(state):
         x, r, p, rz, rr, k = state
@@ -90,7 +101,8 @@ def cg(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
 
     x, r, p, rz, rr, k = lax.while_loop(cond, body, (x0, r0, p0, rz0, rr0, jnp.int32(0)))
     relres = jnp.sqrt(_safe_div(rr, bnorm2))
-    return KrylovResult(x, k, relres, rr <= thresh)
+    q = rz if use_preconditioned_residual_norm else rr
+    return KrylovResult(x, k, relres, q <= thresh)
 
 
 # --------------------------------------------------------------------------- #

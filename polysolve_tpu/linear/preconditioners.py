@@ -158,7 +158,7 @@ def apply(state, r: jnp.ndarray) -> jnp.ndarray:
     if isinstance(state, MASP):
         return _mas_apply(state, r)
     if isinstance(state, amg_mod.AMGState):
-        return amg_mod.cycle(state, r)
+        return amg_mod.apply_preconditioner(state, r)
     raise TypeError(f"unknown preconditioner state {type(state)}")
 
 

@@ -6,9 +6,9 @@ box_constraints/{LBFGSB,MMA}.cpp).
   plus ``max_change`` step clamping (BoxConstraintSolver.cpp:67-156);
 - convergence measures the **projected-gradient norm**
   ``‖clamp(x − ∇f, lo, hi) − x‖`` (BoxConstraintSolver.cpp:96-110);
-- ``LBFGSB``: projected L-BFGS — two-loop direction, step projected onto the
-  box (the Cauchy-point/subspace machinery of LBFGSpp's LBFGSB reduces to
-  this projected form for the box-only case; reference LBFGSB.cpp:33-88);
+- ``LBFGSB``: true L-BFGS-B — generalized Cauchy point + subspace
+  minimization over the free set with the compact limited-memory model
+  (Byrd–Lu–Nocedal–Zhu; reference LBFGSB.cpp:33-88 via LBFGSpp);
 - ``MMA``: Svanberg's Method of Moving Asymptotes with inequality-constraint
   support, dual interior-point subproblem solve (reference MMA.cpp:20-58,
   MMAAux.hpp). MMA forces line search "None" (BoxConstraintSolver.cpp:48-49).
@@ -44,7 +44,17 @@ def _parse_bounds(bounds, ndof: int):
 
 
 class LBFGSB(LBFGS):
-    """Projected L-BFGS for box constraints (reference LBFGSB.cpp:33-88)."""
+    """True L-BFGS-B (Byrd–Lu–Nocedal–Zhu 1995): generalized Cauchy point
+    along the projected steepest-descent path, then subspace minimization of
+    the limited-memory quadratic model over the free variables — the
+    algorithm the reference gets from LBFGSpp (reference LBFGSB.cpp:33-88:
+    ``Cauchy::get_cauchy_point`` + ``SubspaceMin::subspace_minimize``).
+
+    The limited-memory matrix uses the compact representation
+    B = θI − W·M·Wᵀ with W = [Y | θS],
+    M = [[−D, Lᵀ], [L, θSᵀS]]⁻¹ (D = diag(sᵢᵀyᵢ), L strictly lower).
+    With no usable history the direction degenerates to the projected
+    gradient — identical to the pre-round-3 shortcut."""
 
     name_str = "L-BFGS-B"
 
@@ -55,22 +65,142 @@ class LBFGSB(LBFGS):
     def set_bounds_fn(self, fn):
         self.bounds_fn = fn
 
+    def _compact(self):
+        """(θ, W, M) of the compact limited-memory representation."""
+        S = np.stack(list(self.s), axis=1)        # (n, k)
+        Y = np.stack(list(self.y), axis=1)
+        s_l, y_l = self.s[-1], self.y[-1]
+        theta = float(y_l @ y_l) / float(s_l @ y_l)
+        W = np.concatenate([Y, theta * S], axis=1)          # (n, 2k)
+        SY = S.T @ Y                                        # (k, k)
+        D = np.diag(np.diag(SY))
+        L = np.tril(SY, -1)
+        k = S.shape[1]
+        Minv = np.block([[-D, L.T], [L, theta * (S.T @ S)]])
+        M = np.linalg.inv(Minv)                             # (2k, 2k)
+        return theta, W, M
+
     def compute_update_direction(self, problem, x, grad):
-        d = super().compute_update_direction(problem, x, grad)
-        if d is None:
-            return None
+        self._update_history(x, grad)
         lower, upper = self.bounds_fn(x)
-        # project the trial point onto the box; the direction to the
-        # projection stays feasible for all step sizes in (0, 1]
-        target = np.clip(x + d, lower, upper)
-        d = target - x
-        if not d.any():
-            # wholly blocked → steepest projected descent
+
+        if not self.s:
             d = np.clip(x - grad, lower, upper) - x
+            return d if d.any() else None
+
+        try:
+            theta, W, M = self._compact()
+            xcp, c, free = _cauchy_point(x, grad, lower, upper, theta, W, M)
+            xbar = _subspace_min(x, grad, lower, upper, theta, W, M,
+                                 xcp, c, free)
+        except np.linalg.LinAlgError:
+            xbar = None
+        if xbar is None or not np.all(np.isfinite(xbar)):
+            # degenerate model → projected steepest descent
+            d = np.clip(x - grad, lower, upper) - x
+            return d if d.any() else None
+        d = xbar - x
+        if not d.any() or float(d @ grad) >= 0:
+            # zero or uphill model step (near-singular subspace system) →
+            # projected steepest descent safeguard
+            d = np.clip(x - grad, lower, upper) - x
+            if not d.any():
+                return None
         return d
 
     def is_direction_descent(self) -> bool:
-        return False  # projection can deflect the quasi-Newton direction
+        return False  # bound activities can deflect the model direction
+
+
+def _cauchy_point(x, g, lower, upper, theta, W, M):
+    """Generalized Cauchy point along x(t) = P(x − t·g) (Byrd et al. 1995
+    Algorithm CP). Returns (x_cp, c = Wᵀ(x_cp − x), free_mask)."""
+    n = len(x)
+    t = np.full(n, np.inf)
+    d = -g.astype(np.float64).copy()
+    neg = g < 0
+    pos = g > 0
+    t[neg] = (x[neg] - upper[neg]) / g[neg]
+    t[pos] = (x[pos] - lower[pos]) / g[pos]
+    d[t == 0] = 0.0
+
+    xcp = x.astype(np.float64).copy()
+    # variables with t == 0 start at their bound
+    xcp[(t == 0) & pos] = lower[(t == 0) & pos]
+    xcp[(t == 0) & neg] = upper[(t == 0) & neg]
+
+    order = np.argsort(t)
+    p = W.T @ d                       # (2k,)
+    c = np.zeros(W.shape[1])
+    fp = -float(d @ d)
+    fpp = -theta * fp - float(p @ M @ p)
+    fpp = max(fpp, 1e-300)  # f'' = dᵀBd > 0 for θ>0; guard fp rounding
+    dt_min = -fp / fpp
+    t_old = 0.0
+
+    j = 0
+    while j < n and t[order[j]] <= 0.0:
+        j += 1
+    while j < n and np.isfinite(t[order[j]]):
+        b = order[j]
+        t_b = t[b]
+        dt = t_b - t_old
+        if dt_min < dt:
+            break
+        # variable b hits its bound at t_b
+        xcp[b] = upper[b] if g[b] < 0 else lower[b]
+        zb = xcp[b] - x[b]
+        c = c + dt * p
+        gb = g[b]
+        wb = W[b]
+        Mc = M @ c
+        Mp = M @ p
+        Mw = M @ wb
+        fp += dt * fpp + gb * gb + theta * gb * zb - gb * float(wb @ Mc)
+        fpp += -theta * gb * gb - 2.0 * gb * float(wb @ Mp) \
+            - gb * gb * float(wb @ Mw)
+        fpp = max(fpp, 1e-300)
+        p = p + gb * wb
+        d[b] = 0.0
+        dt_min = -fp / fpp
+        t_old = t_b
+        j += 1
+
+    dt_min = max(dt_min, 0.0)
+    t_final = t_old + dt_min
+    move = (d != 0) & (t > t_old)
+    xcp[move] = x[move] + t_final * d[move]
+    np.clip(xcp, lower, upper, out=xcp)
+    c = c + dt_min * p
+    # free = variables strictly inside their bounds at the Cauchy point
+    free = (xcp > lower) & (xcp < upper)
+    return xcp, c, free
+
+
+def _subspace_min(x, g, lower, upper, theta, W, M, xcp, c, free):
+    """Direct primal subspace minimization over the free set (Byrd et al.
+    1995 §5.1), followed by the α-truncation back onto the box."""
+    if not np.any(free):
+        return xcp
+    # reduced gradient of the quadratic model at x_cp
+    r = g + theta * (xcp - x) - W @ (M @ c)
+    rf = r[free]
+    Wf = W[free]                                  # (nf, 2k)
+    v = M @ (Wf.T @ rf)
+    N = np.eye(M.shape[0]) - (1.0 / theta) * (M @ (Wf.T @ Wf))
+    v = np.linalg.solve(N, v)
+    df = -(1.0 / theta) * rf - (1.0 / theta ** 2) * (Wf @ v)
+    # largest α ∈ (0, 1] keeping the free variables in the box
+    xf = xcp[free]
+    lo, hi = lower[free], upper[free]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha_hi = np.where(df > 0, (hi - xf) / df, np.inf)
+        alpha_lo = np.where(df < 0, (lo - xf) / df, np.inf)
+    alpha = min(1.0, float(np.min(np.minimum(alpha_hi, alpha_lo), initial=1.0)))
+    alpha = max(alpha, 0.0)
+    xbar = xcp.copy()
+    xbar[free] = np.clip(xf + alpha * df, lo, hi)
+    return xbar
 
 
 class MMA(DescentStrategy):

@@ -13,6 +13,10 @@ from polysolve_tpu.nonlinear.descent.newton import (  # noqa: F401
     DenseNewton,
     ProjectedNewton,
     RegularizedNewton,
+    RegularizedProjectedNewton,
+    DenseProjectedNewton,
+    DenseRegularizedNewton,
+    DenseRegularizedProjectedNewton,
 )
 
 STRATEGIES = {
@@ -27,4 +31,8 @@ STRATEGIES = {
     "DenseNewton": DenseNewton,
     "ProjectedNewton": ProjectedNewton,
     "RegularizedNewton": RegularizedNewton,
+    "RegularizedProjectedNewton": RegularizedProjectedNewton,
+    "DenseProjectedNewton": DenseProjectedNewton,
+    "DenseRegularizedNewton": DenseRegularizedNewton,
+    "DenseRegularizedProjectedNewton": DenseRegularizedProjectedNewton,
 }

@@ -175,3 +175,35 @@ class RegularizedNewton(Newton):
         # relax regularization after successful steps
         self.reg_weight = max(self.reg_weight / self.reg_weight_inc,
                               self.reg_weight_min)
+
+
+class RegularizedProjectedNewton(RegularizedNewton):
+    """Regularization + PSD projection combined — the reference's
+    ``RegularizedNewton(sparse, project_to_psd=true, ...)`` constructed for
+    the "RegularizedProjectedNewton" spec type and for the expanded Newton
+    chain when ``Newton/use_psd_projection_in_regularized`` is true
+    (reference Solver.cpp:59-63, Newton.cpp:47-52)."""
+
+    name_str = "RegularizedProjectedNewton"
+
+    def compute_update_direction(self, problem, x, grad):
+        problem.set_project_to_psd(True)
+        try:
+            return super().compute_update_direction(problem, x, grad)
+        finally:
+            problem.set_project_to_psd(False)
+
+
+class DenseProjectedNewton(ProjectedNewton, DenseNewton):
+    """Dense-path PSD-projected Newton (reference spec type
+    "DenseProjectedNewton")."""
+
+    name_str = "DenseProjectedNewton"
+
+
+class DenseRegularizedNewton(RegularizedNewton, DenseNewton):
+    name_str = "DenseRegularizedNewton"
+
+
+class DenseRegularizedProjectedNewton(RegularizedProjectedNewton, DenseNewton):
+    name_str = "DenseRegularizedProjectedNewton"

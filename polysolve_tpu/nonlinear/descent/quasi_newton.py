@@ -66,7 +66,9 @@ class LBFGS(DescentStrategy):
         self.x_prev = None
         self.g_prev = None
 
-    def compute_update_direction(self, problem, x, grad) -> Optional[np.ndarray]:
+    def _update_history(self, x, grad) -> None:
+        """Curvature-guarded (s, y) pair collection — shared with the
+        box-constrained L-BFGS-B subclass."""
         if self.x_prev is not None:
             s = x - self.x_prev
             y = grad - self.g_prev
@@ -76,6 +78,9 @@ class LBFGS(DescentStrategy):
                 self.y.append(y)
         self.x_prev = x.copy()
         self.g_prev = grad.copy()
+
+    def compute_update_direction(self, problem, x, grad) -> Optional[np.ndarray]:
+        self._update_history(x, grad)
 
         q = grad.copy()
         alphas = []

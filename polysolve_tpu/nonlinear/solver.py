@@ -92,6 +92,10 @@ def build_nonlinear_spec_rules() -> List[Dict[str, Any]]:
             "use_psd_projection": b(True),
             "force_psd_projection": b(False),
             "use_regularization": b(True),
+            # whether the chain's RegularizedNewton stage also projects to
+            # PSD (reference nonlinear-solver-spec.json /Newton/
+            # use_psd_projection_in_regularized, Newton.cpp:47-52)
+            "use_psd_projection_in_regularized": b(True),
         },
         "RegularizedNewton": {
             "reg_weight_min": f(1e-8),
@@ -126,7 +130,15 @@ def build_nonlinear_spec_rules() -> List[Dict[str, Any]]:
             "max_change": {"type": ["float", "list", "list_of_float"],
                            "default": -1.0},
         },
-        "solver": {"type": ["string", "list_of_str"], "default": "Newton"},
+        # string | list of names | list of {"type": ..., ...} objects
+        # (reference nonlinear-solver-spec.json:310-515)
+        "solver": {"type": ["string", "list_of_str", "list"],
+                   "default": "Newton"},
+        # gradient-norm flavor for convergence + line search (reference
+        # /norm_type, Solver.cpp:223; Euclidean == L2 here — no mesh mass
+        # matrix exists at this library layer, as in the reference default)
+        "norm_type": {"type": "string", "default": "L2",
+                      "options": ["Euclidean", "L2", "Linf"]},
     }
     return spec_mod.rules_for_subtree("/", tree)
 
@@ -153,41 +165,52 @@ class Solver:
         linear_solver_params, characteristic_length, logger, strict,
         norm_type))."""
         logger = logger or default_logger
+        from polysolve_tpu.nonlinear import compat
+
         params = spec_mod.validate_and_inject(
-            solver_params or {}, build_nonlinear_spec_rules(), strict=strict,
-            logger=logger,
+            compat.translate_reference_config(solver_params),
+            build_nonlinear_spec_rules(), strict=strict, logger=logger,
         )
         solver = params.get("solver", "Newton")
         names = solver if isinstance(solver, list) else None
         strategies = []
 
-        def make(name: str, **kw):
+        def make(name: str, overrides: Optional[Dict[str, Any]] = None):
             name = "L-BFGS" if name == "LBFGS" else name
             if name not in descent_mod.STRATEGIES:
                 raise ValueError(f"Unrecognized solver type: {name}")
             cls_ = descent_mod.STRATEGIES[name]
-            sub = params.get(name, {})
+            sub = dict(params.get(name, {}))
             if issubclass(cls_, descent_mod.Newton):
                 merged = dict(params.get("Newton", {}))
+                if issubclass(cls_, descent_mod.RegularizedNewton):
+                    merged.update(params.get("RegularizedNewton", {}))
                 merged.update(params.get(name, {}))
+                merged.update(overrides or {})
                 return cls_(merged, logger,
                             linear_solver_params=linear_solver_params,
                             characteristic_length=characteristic_length)
+            sub.update(overrides or {})
             return cls_(sub, logger)
 
         if names is None:
             # single name → expanded chain (reference Newton.cpp:14-58)
             if solver in ("Newton", "DenseNewton"):
+                pre = "Dense" if solver == "DenseNewton" else ""
                 newton_params = params.get("Newton", {})
                 force_psd = bool(newton_params.get("force_psd_projection", False))
                 use_psd = bool(newton_params.get("use_psd_projection", True))
                 use_reg = bool(newton_params.get("use_regularization", True))
+                psd_in_reg = bool(newton_params.get(
+                    "use_psd_projection_in_regularized", True))
                 if not force_psd:
                     strategies.append(make(solver))
                 if use_psd or force_psd:
-                    strategies.append(make("ProjectedNewton"))
+                    strategies.append(make(pre + "ProjectedNewton"))
                 if use_reg:
-                    strategies.append(make("RegularizedNewton"))
+                    strategies.append(make(
+                        pre + ("RegularizedProjectedNewton" if psd_in_reg
+                               else "RegularizedNewton")))
                 strategies.append(make("GradientDescent"))
             elif solver == "GradientDescent":
                 strategies.append(make(solver))
@@ -195,13 +218,30 @@ class Solver:
                 strategies.append(make(solver))
                 strategies.append(make("GradientDescent"))
         else:
-            # explicit list = explicit chain (nonlinear-fallbacks test)
-            for name in names:
-                strategies.append(make(name))
+            # explicit list = explicit chain (nonlinear-fallbacks test).
+            # Entries are names or reference-style {"type": ..., ...} objects
+            # (nonlinear-solver-spec.json:310-515, Solver.cpp:146-156)
+            for entry in names:
+                if isinstance(entry, dict):
+                    if "type" not in entry:
+                        raise spec_mod.SpecError(
+                            "solver chain object missing 'type': %r" % (entry,))
+                    strategies.append(make(
+                        str(entry["type"]),
+                        {k: v for k, v in entry.items() if k != "type"}))
+                else:
+                    strategies.append(make(entry))
 
         line_search = create_line_search(params.get("line_search", {}), logger)
         solver = cls(strategies, line_search, params,
                      characteristic_length=characteristic_length, logger=logger)
+        # config-driven norm_type (reference Solver.cpp:223) — an explicit
+        # factory argument wins; absent both, the problem's own norm stands
+        if norm_type is None and "norm_type" in (solver_params or {}):
+            from polysolve_tpu.nonlinear.problem import NormType
+
+            norm_type = {"Euclidean": NormType.EUCLIDEAN, "L2": NormType.L2,
+                         "Linf": NormType.LINF}[params["norm_type"]]
         solver.norm_type = norm_type
         return solver
 
