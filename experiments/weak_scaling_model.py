@@ -25,6 +25,13 @@ import time
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
+import jax
+
+# the sitecustomize registers the axon TPU and wins over JAX_PLATFORMS= —
+# force CPU here (this artifact is host/virtual-mesh only; running it on
+# the single real TPU would also collide with concurrent TPU experiments)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import scipy.sparse as sp
 

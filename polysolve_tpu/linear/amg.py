@@ -172,6 +172,235 @@ def _tT_apply(grid, y: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(-1) * np.float64(1.0 / np.sqrt(2.0 ** d)).astype(y.dtype)
 
 
+# --------------------------------------------------------------------------- #
+# Device-probed Galerkin RAP (structured levels)                               #
+#                                                                              #
+# The host spgemm chain (DA@P_tent, A@P, R@AP per level) was measured at      #
+# ~70 s of the 122 s setup at n=7.08M on this 2-core host. On structured      #
+# grids the transfers are matrix-free (T box + Jacobi smoothing), so the      #
+# coarse operator can be computed ON DEVICE by stencil-colored probing:       #
+# Ac·e_S for one probe vector per color class S (classes spaced wider than    #
+# the coarse stencil never overlap), then the DIA diagonals are read off      #
+# Y[cls[i+off], i]. Exact given a correct stencil-radius bound; a random      #
+# matvec check verifies and falls back to the host spgemm path otherwise.     #
+# --------------------------------------------------------------------------- #
+
+
+def _axis_radii(offsets, grid) -> Tuple[int, ...]:
+    """Per-axis stencil radius of a DIA operator on a lex-ordered grid
+    (balanced de-linearization of each offset; |d_ax| < grid_ax assumed —
+    true for any stencil that is not grid-wrapping)."""
+    d = len(grid)
+    strides = [1] * d
+    for ax in range(d - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * grid[ax + 1]
+    r = [0] * d
+    for off in offsets:
+        rem = int(off)
+        for ax in range(d):
+            q = int(round(rem / strides[ax]))
+            # balanced: pick the component minimizing the remainder
+            best, bq = None, None
+            for cand in (q - 1, q, q + 1):
+                rr = rem - cand * strides[ax]
+                if best is None or abs(rr) < abs(best):
+                    best, bq = rr, cand
+            rem = best
+            r[ax] = max(r[ax], abs(bq))
+    return tuple(r)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _power_iter_dia(A_dev, Dinv, v0, iters: int = 20):
+    """ρ(D⁻¹A) by device power iteration (the host scipy version cost ~14 s
+    across levels at n=7.08M; here it is `iters` DIA matvecs)."""
+
+    def body(i, carry):
+        v, lam = carry
+        w = Dinv * ops.matvec(A_dev, v)
+        lam = jnp.sqrt(jnp.vdot(w, w))
+        return (w / jnp.maximum(lam, 1e-300), lam)
+
+    v0 = v0 / jnp.maximum(jnp.sqrt(jnp.vdot(v0, v0)), 1e-300)
+    _, lam = jax.lax.fori_loop(0, iters, body, (v0, jnp.ones((), v0.dtype)))
+    return lam
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _rap_apply_block(A_dev, Dinv, w, E, grid):
+    """Y = (R·A·P)·E for a block of probe columns E (n_c, B); returns
+    (B, n_c). P = (I − ωD⁻¹A)T, R = Pᵀ — identical formulas to
+    _p_apply/_r_apply, so the probed coarse operator is Galerkin-consistent
+    with the device cycle's transfers by construction."""
+
+    def one(e):
+        t = _t_apply(grid, e)
+        p = t - w * (Dinv * ops.matvec(A_dev, t))
+        q = ops.matvec(A_dev, p)
+        return _tT_apply(grid, q - w * ops.matvec(A_dev, Dinv * q))
+
+    return jax.vmap(one, in_axes=1, out_axes=0)(E)
+
+
+@jax.jit
+def _extract_dia(Y, cls, offs_arr, valid):
+    """vals[k, i] = Y[cls[i + offs[k]], i] masked by per-offset GEOMETRIC
+    validity — reads the coarse DIA diagonals out of the probe responses.
+
+    ``valid`` (K, n_c) marks cells whose per-axis move stays inside the
+    grid: a linear offset that wraps an axis lands on a cell whose COLOR
+    CLASS can contain a true stencil neighbor of i, so Y[cls[j], i] would
+    read that neighbor's response — a plain 0≤i+off<n range mask is NOT
+    sufficient (measured: rel 0.5 probe error on 24×24 without this).
+    lax.scan keeps the program one gather regardless of K."""
+
+    def body(_, xs):
+        off, v = xs
+        idx = jnp.roll(cls, -off)
+        g = jnp.take_along_axis(Y, idx[None, :], axis=0)[0]
+        return None, g * v
+
+    _, vals = jax.lax.scan(body, None, (offs_arr, valid))
+    return vals
+
+
+class _DiaCarrier:
+    """Coarse-level operator held as device DIA between setup iterations —
+    the fast structured path never materializes host CSR unless a fallback
+    or the coarsest dense inverse needs it."""
+
+    def __init__(self, offsets, vals, nnz: int):
+        self.offsets = tuple(int(o) for o in offsets)
+        self.vals = vals                       # (K, n) device
+        self.nnz = int(nnz)
+        n = int(vals.shape[1])
+        self.shape = (n, n)
+
+    def diagonal(self) -> np.ndarray:
+        k0 = self.offsets.index(0)
+        return np.asarray(self.vals[k0], dtype=np.float64)
+
+    def to_dia_matrix(self, dtype) -> "DIAMatrix":
+        from polysolve_tpu.types import DIAMatrix
+
+        return DIAMatrix(vals=self.vals.astype(dtype), offsets=self.offsets,
+                         shape=self.shape, nnz=self.nnz)
+
+    def tocsr(self) -> sp.csr_matrix:
+        n = self.shape[0]
+        vals = np.asarray(self.vals, dtype=np.float64)
+        rows, cols, data = [], [], []
+        for k, off in enumerate(self.offsets):
+            i0, i1 = max(0, -off), min(n, n - off)
+            i = np.arange(i0, i1)
+            rows.append(i)
+            cols.append(i + off)
+            data.append(vals[k, i0:i1])
+        A = sp.csr_matrix((np.concatenate(data),
+                           (np.concatenate(rows), np.concatenate(cols))),
+                          shape=self.shape)
+        A.eliminate_zeros()
+        return A
+
+    def toarray(self) -> np.ndarray:
+        return self.tocsr().toarray()
+
+
+def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
+                          logger: Optional[logging.Logger] = None):
+    """Compute Ac = PᵀAP for a structured level on device. Returns a
+    _DiaCarrier, or None when verification fails (caller falls back to the
+    host spgemm path)."""
+    d = len(grid)
+    cg = tuple(g // 2 for g in grid)
+    n_c = int(np.prod(cg))
+    n_f = int(np.prod(grid))
+    r_ax = _axis_radii(A_dev.offsets, grid)
+    # coarse stencil radius bound: P spans [−r_A, 1+r_A] around 2c per axis,
+    # A couples r_A more ⇒ |2Δc| ≤ 3r_A + 2
+    rc_ax = [min((3 * r + 2) // 2, c - 1) for r, c in zip(r_ax, cg)]
+    s_ax = [min(2 * rc + 1, c) for rc, c in zip(rc_ax, cg)]
+    n_cls = int(np.prod(s_ax))
+
+    coords = np.unravel_index(np.arange(n_c), cg)
+    cls = np.zeros(n_c, dtype=np.int64)
+    for co, s in zip(coords, s_ax):
+        cls = cls * s + (co % s)
+
+    # probe matrix in chunks sized to bound fine-level transient memory
+    # ~16 fine fp32 intermediates per column (vmapped t/p/q + matvec
+    # temporaries) bounded to ≈0.8 GB transient
+    B = int(max(4, min(64, (3 << 28) // (64 * max(n_f, 1)))))
+    w_dev = jnp.asarray(w, dtype=dtype)
+    ys = []
+    eye_cls = np.equal.outer(np.arange(n_cls), cls)   # (n_cls, n_c) bool
+    for q0 in range(0, n_cls, B):
+        q1 = min(q0 + B, n_cls)
+        E = np.zeros((n_c, B), dtype=np.float64)
+        E[:, : q1 - q0] = eye_cls[q0:q1].T
+        Y = _rap_apply_block(A_dev, Dinv_dev, w_dev,
+                             jnp.asarray(E, dtype=dtype), grid)
+        ys.append(Y[: q1 - q0])
+    Y = jnp.concatenate(ys, axis=0)                   # (n_cls, n_c) device
+
+    # candidate offsets: the box of rc per axis, as linear coarse offsets,
+    # each with its GEOMETRIC validity mask (per-axis move stays in-grid —
+    # wrapped linear moves alias into classes that contain true stencil
+    # neighbors, see _extract_dia)
+    strides = [1] * d
+    for ax in range(d - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * cg[ax + 1]
+    axes = [np.arange(-rc, rc + 1) for rc in rc_ax]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    deltas = np.stack([m_ax.reshape(-1) for m_ax in mesh], axis=1)  # (K, d)
+    offs_cand = (deltas * np.asarray(strides)).sum(axis=1)
+    order = np.argsort(offs_cand)
+    offs_cand = offs_cand[order]
+    deltas = deltas[order]
+    valid = np.ones((len(offs_cand), n_c), dtype=bool)
+    for ax in range(d):
+        co = coords[ax][None, :]                      # (1, n_c)
+        da = deltas[:, ax][:, None]                   # (K, 1)
+        valid &= (co + da >= 0) & (co + da < cg[ax])
+
+    cls_dev = jnp.asarray(cls, dtype=jnp.int32)
+    vals = _extract_dia(Y, cls_dev, jnp.asarray(offs_cand, dtype=jnp.int32),
+                        jnp.asarray(valid, dtype=dtype))
+
+    # prune all-zero diagonals (loose radius bound ⇒ zero candidates)
+    nz = np.asarray(jnp.any(vals != 0, axis=1))
+    keep = np.flatnonzero(nz)
+    if 0 not in offs_cand[keep]:                      # diagonal must exist
+        keep = np.sort(np.append(keep, np.searchsorted(offs_cand, 0)))
+    offs_kept = offs_cand[keep]
+    vals_kept = jnp.take(vals, jnp.asarray(keep), axis=0)
+
+    # verification: probed DIA must reproduce the composed operator
+    from polysolve_tpu.types import DIAMatrix
+
+    nnz_count = int(jnp.sum(vals_kept != 0))
+    Ac = DIAMatrix(vals=vals_kept, offsets=tuple(int(o) for o in offs_kept),
+                   shape=(n_c, n_c), nnz=max(nnz_count, 1))
+    z = np.random.default_rng(7).standard_normal(n_c)
+    Z = np.zeros((n_c, B))
+    Z[:, 0] = z
+    y_ref = np.asarray(_rap_apply_block(
+        A_dev, Dinv_dev, w_dev, jnp.asarray(Z, dtype=dtype), grid)[0],
+        dtype=np.float64)
+    y_dia = np.asarray(ops.matvec(Ac, jnp.asarray(z, dtype=dtype)),
+                       dtype=np.float64)
+    denom = max(float(np.linalg.norm(y_ref)), 1e-300)
+    rel = float(np.linalg.norm(y_dia - y_ref)) / denom
+    tol = 1e-10 if dtype == jnp.float64 else 1e-4
+    if rel > tol:
+        if logger:
+            logger.warning(
+                "structured RAP probe verification failed (rel %.2e) — "
+                "falling back to host spgemm", rel)
+        return None
+    return _DiaCarrier(offs_kept, vals_kept, nnz_count)
+
+
 def _p_apply(lev: AMGLevel, zc: jnp.ndarray) -> jnp.ndarray:
     """P·zc. Structured: (I − ωD⁻¹A)·T·zc (one DIA matvec, no gather)."""
     if lev.grid is not None:
@@ -282,6 +511,67 @@ class AMGHierarchy:
         while Al.shape[0] > coarse_enough and len(levels) < max_levels - 1:
             structured = (grid is not None and all(g % 2 == 0 for g in grid)
                           and int(np.prod(grid)) == Al.shape[0])
+
+            # ---- fast structured path: device-probed Galerkin RAP ----
+            # (no host P/R/spgemm at all; the level and its coarse operator
+            # live as DIA on device — see _probe_structured_rap).
+            # "auto" probes only on TPU: on CPU the probe matvecs run on the
+            # same 2 host cores as spgemm and are slower, not faster.
+            rap_mode = str(params.get("rap", "auto"))
+            use_probe = rap_mode == "device" or (
+                rap_mode == "auto" and jax.default_backend() == "tpu")
+            if structured and use_probe:
+                from polysolve_tpu.types import DIAMatrix as _DIA
+
+                if isinstance(Al, _DiaCarrier):
+                    A_dev = Al.to_dia_matrix(dtype)
+                    d = Al.diagonal()
+                else:
+                    dia_cap = (min(2048, max(64, (256 << 20)
+                                             // (4 * Al.shape[0])))
+                               if len(levels) > 0 else 64)
+                    cand = ops.to_device_matrix(
+                        Al, dtype=dtype, dia_max_diags=dia_cap,
+                        dia_fill_threshold=0.02 if len(levels) > 0 else 0.55)
+                    A_dev = cand if isinstance(cand, _DIA) else None
+                    d = Al.diagonal() if A_dev is not None else None
+                carrier = None
+                if A_dev is not None:
+                    d = np.where(d != 0, d, 1.0)
+                    Dinv_dev = jnp.asarray(1.0 / d, dtype=dtype)
+                    v0 = jnp.asarray(np.random.default_rng(0).standard_normal(
+                        A_dev.shape[0]), dtype=dtype)
+                    rho_da = max(float(_power_iter_dia(
+                        A_dev, Dinv_dev, v0,
+                        iters=int(params.get("power_iters", 20)))), 1e-12)
+                    w_used = omega / rho_da
+                    carrier = _probe_structured_rap(
+                        A_dev, Dinv_dev, w_used, grid, dtype, logger)
+                if carrier is not None:
+                    aggregates.append((None, carrier.shape[0]))
+                    if smoother == "cheb1":
+                        lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
+                    else:
+                        lo, hi = 1.0, 1.0
+                    levels.append(AMGLevel(
+                        A=A_dev, P=None, R=None,
+                        theta=jnp.asarray((hi + lo) / 2.0, dtype=dtype),
+                        delta=jnp.asarray((hi - lo) / 2.0, dtype=dtype),
+                        Dinv=Dinv_dev,
+                        w_smooth=jnp.asarray(w_used, dtype=dtype),
+                        rho_da=jnp.asarray(1.02 * rho_da, dtype=dtype),
+                        degree=degree, smoother=smoother, grid=grid,
+                    ))
+                    Al = carrier
+                    Bl = np.ones((carrier.shape[0], 1))
+                    sizes.append(carrier.shape[0])
+                    total_nnz += carrier.nnz
+                    grid = tuple(g // 2 for g in grid)
+                    continue
+                # probe unavailable/failed → general host path below
+
+            if isinstance(Al, _DiaCarrier):
+                Al = Al.tocsr()
             if structured:
                 agg = _box_aggregate(grid)
                 n_agg = int(np.prod([g // 2 for g in grid]))
@@ -588,11 +878,21 @@ def _smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
 def _detect_grid(A: sp.csr_matrix):
     """Infer a lex-ordered grid from the stencil offsets: returns (mx, my,
     mz) / (mx, my) / None. Cube/square detection (index = ((ix·my)+iy)·mz+iz,
-    offset 1 ↔ innermost axis)."""
+    offset 1 ↔ innermost axis).
+
+    Offsets come from the native single-pass diagonal scan when available
+    (the COO + np.unique route materializes and sorts nnz-sized arrays —
+    4.5 s of the n=7.08M setup)."""
     n = A.shape[0]
-    C = sp.coo_matrix(A)
-    pos = np.unique(C.col - C.row)
-    pos = pos[pos > 0]
+    offs = native.dia_analyze(A, 4096)
+    if offs is not None:
+        if np.isscalar(offs) or len(offs) == 0:
+            return None  # > 4096 distinct diagonals: not a grid stencil
+        pos = np.asarray([int(o) for o in offs if o > 0])
+    else:
+        C = sp.coo_matrix(A)
+        pos = np.unique(C.col - C.row)
+        pos = pos[pos > 0]
     if len(pos) == 0 or pos.max() > n:
         return None
     m3 = round(n ** (1 / 3))

@@ -137,11 +137,7 @@ class DenseHouseholderQR(DenseSolver):
 
 
 @register_solver("Dense::ColPivHouseholderQR",
-                 aliases=["Eigen::ColPivHouseholderQR",
-                          # sparse-QR reference backends: rank-revealing QR on
-                          # the densified operator (sparse-QR kernel is a
-                          # planned upgrade; reference Solver.cpp:320-324, :369-372)
-                          "Eigen::SparseQR", "Eigen::SPQR"])
+                 aliases=["Eigen::ColPivHouseholderQR"])
 class DenseColPivQR(DenseSolver):
     method = "colpivqr"
 

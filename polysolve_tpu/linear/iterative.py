@@ -499,8 +499,15 @@ def _amg_param_tree() -> Dict[str, Any]:
         # internal RCM permutation of the whole problem); "auto"/"on"/"off"
         "tile_ell": {"type": "string", "default": "auto"},
         # levels with n <= dense_level are stored DENSE (one MXU matvec;
-        # the ELL gather alternative measured 24.5 ms/mv at n=4096)
-        "dense_level": leaf_i(8192),
+        # the ELL gather alternative measured 24.5 ms/mv at n=4096).
+        # O(n²) memory: 64 MB fp32 per qualifying level at the default cap
+        "dense_level": leaf_i(4096),
+        # Galerkin product mode: "auto" computes structured-level RAPs on
+        # device by stencil probing (amg._probe_structured_rap — the host
+        # spgemm chain was ~70 s of setup at n=7.08M); "host" forces spgemm
+        "rap": {"type": "string", "default": "auto"},
+        # explicit grid dims override for the structured path (empty = auto)
+        "grid": {"type": "list", "default": []},
     }
 
 

@@ -193,6 +193,16 @@ class BlockSymbolic:
     # region-aligned embedding: permuted position k lives at padded row
     # emb[k]; region-padding dofs are identity (nested-dissection blocking)
     emb: Optional[np.ndarray] = None
+    # FLAT schedule (round 3): per step, budgeted lists instead of the
+    # (Bc, Wmax, Wmax) padded tensors — the padded right-looking update
+    # einsum moved 8x the necessary bytes (38 G useful vs 286 G padded
+    # flops at n=32k). Guard id n_blocks pads every list.
+    f_diag: Optional[np.ndarray] = None    # (ns, C)  diagonal block ids
+    f_pan_blk: Optional[np.ndarray] = None  # (ns, P) panel block ids
+    f_pan_own: Optional[np.ndarray] = None  # (ns, P) owner slot in [0, C)
+    f_upd_a: Optional[np.ndarray] = None   # (ns, U) update left factor
+    f_upd_b: Optional[np.ndarray] = None   # (ns, U) update right factor
+    f_upd_d: Optional[np.ndarray] = None   # (ns, U) update target
 
     @property
     def n_pad(self) -> int:
@@ -363,6 +373,66 @@ def analyze(A: sp.spmatrix, m: int = 32,
     sched_k = (np.stack(k_rows) if k_rows
                else np.zeros((0, Bc), dtype=np.int32))
 
+    # ---- flat budgeted schedule (no Wmax² padding) ---- #
+    ws = np.array([len(c) for c in col_sorted], dtype=np.int64)
+    n_upd_col = ws * (ws + 1) // 2
+    C_max = 64
+    U_budget = int(max(2048, n_upd_col.max(initial=1)))
+    P_budget = int(max(512, ws.max(initial=1)))
+    # per-column flat pieces (from the already-built tables)
+    tril_cache = {}
+
+    def col_updates(j):
+        w = int(ws[j])
+        if w == 0:
+            return (np.empty(0, np.int32),) * 3
+        if w not in tril_cache:
+            tril_cache[w] = np.tril_indices(w)
+        a_idx, b_idx = tril_cache[w]
+        return (col_ids[j, a_idx], col_ids[j, b_idx],
+                upd_ids[j, a_idx, b_idx])
+
+    steps = []      # list of (cols list)
+    pos = 0
+    for wlev in widths:
+        cols_lv = order_lv[pos:pos + int(wlev)]
+        pos += int(wlev)
+        # big columns first → homogeneous steps, minimal budget padding
+        cols_lv = cols_lv[np.argsort(-ws[cols_lv], kind="stable")]
+        cur, cur_u, cur_p = [], 0, 0
+        for j in cols_lv:
+            ju, jp = int(n_upd_col[j]), int(ws[j])
+            if cur and (len(cur) >= C_max or cur_u + ju > U_budget
+                        or cur_p + jp > P_budget):
+                steps.append(cur)
+                cur, cur_u, cur_p = [], 0, 0
+            cur.append(int(j))
+            cur_u += ju
+            cur_p += jp
+        if cur:
+            steps.append(cur)
+    ns = len(steps)
+    f_diag = np.full((ns, C_max), n_blocks, np.int32)
+    f_pan_blk = np.full((ns, P_budget), n_blocks, np.int32)
+    f_pan_own = np.zeros((ns, P_budget), np.int32)
+    f_upd_a = np.full((ns, U_budget), n_blocks, np.int32)
+    f_upd_b = np.full((ns, U_budget), n_blocks, np.int32)
+    f_upd_d = np.full((ns, U_budget), n_blocks, np.int32)
+    for t, cols_t in enumerate(steps):
+        up = 0
+        pp = 0
+        for slot, j in enumerate(cols_t):
+            f_diag[t, slot] = diag_ids[j]
+            w = int(ws[j])
+            f_pan_blk[t, pp:pp + w] = col_ids[j, :w]
+            f_pan_own[t, pp:pp + w] = slot
+            pp += w
+            ua, ub, ud = col_updates(j)
+            f_upd_a[t, up:up + len(ua)] = ua
+            f_upd_b[t, up:up + len(ua)] = ub
+            f_upd_d[t, up:up + len(ua)] = ud
+            up += len(ua)
+
     mem = (n_blocks + 1) * m * m * 8 / 2 ** 20
     return BlockSymbolic(
         perm=perm, m=m, nb=nb, n=n, n_blocks=n_blocks, Wmax=Wmax,
@@ -370,6 +440,8 @@ def analyze(A: sp.spmatrix, m: int = 32,
         diag_ids=diag_ids, col_ids=col_ids, col_rows=col_rows,
         upd_ids=upd_ids, a_blk=a_blk, a_i=a_i, a_j=a_j,
         a_perm_rows=rr, a_perm_cols=cc, flops=flops, mem_blocks_mb=mem,
+        f_diag=f_diag, f_pan_blk=f_pan_blk, f_pan_own=f_pan_own,
+        f_upd_a=f_upd_a, f_upd_b=f_upd_b, f_upd_d=f_upd_d,
     )
 
 
@@ -489,6 +561,42 @@ def _factor_scan_level(a_vals, a_blk, a_i, a_j, diag_b, col_b, upd_b,
         return blocks.at[n_blocks].set(eye), None
 
     blocks, _ = lax.scan(step, blocks, (diag_b, col_b, upd_b))
+    return blocks
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
+def _factor_scan_flat(a_vals, a_blk, a_i, a_j, f_diag, f_pan_blk, f_pan_own,
+                      f_upd_a, f_upd_b, f_upd_d, n_blocks: int, m: int):
+    """Flat budgeted right-looking Cholesky: every step processes a batch of
+    independent columns through three uniform batched lists — diagonal
+    POTRFs (C,), panel TRSMs (P,), update GEMMs (U,) — instead of the
+    (Bc, Wmax, Wmax) padded tensors of _factor_scan_level, which moved ~8×
+    the necessary bytes (most slots padding). Guard block ``n_blocks`` = I
+    absorbs every padded read/write and is reset each step."""
+    dtype = a_vals.dtype
+    eye = jnp.eye(m, dtype=dtype)
+    blocks = jnp.zeros((n_blocks + 1, m, m), dtype=dtype)
+    blocks = blocks.at[a_blk, a_i, a_j].add(a_vals)
+    blocks = blocks.at[n_blocks].set(eye)
+
+    def step(blocks, xs):
+        fd, pb, po, ua, ub, ud = xs
+        Ld = jnp.linalg.cholesky(blocks[fd])                 # (C, m, m)
+        P = blocks[pb]                                       # (P, m, m)
+        Y = jax.scipy.linalg.solve_triangular(
+            Ld[po], jnp.swapaxes(P, -1, -2), lower=True)
+        Loff = jnp.swapaxes(Y, -1, -2)
+        blocks = blocks.at[fd].set(Ld).at[pb].set(Loff)
+        La = blocks[ua]                                      # (U, m, m)
+        Lb = blocks[ub]
+        U = jnp.einsum("uij,ukj->uik", La, Lb,
+                       preferred_element_type=dtype)
+        blocks = blocks.at[ud].add(-U)
+        return blocks.at[n_blocks].set(eye), None
+
+    blocks, _ = lax.scan(
+        step, blocks, (f_diag, f_pan_blk, f_pan_own, f_upd_a, f_upd_b,
+                       f_upd_d))
     return blocks
 
 
@@ -739,13 +847,14 @@ class SupernodalCholesky:
         from polysolve_tpu import checkpoint as ckpt
 
         phash = phash or ckpt.pattern_hash(A)
-        # "snl2": cache-key bump — round-1 cached symbolics lack sched_k
-        cached = ckpt.default_cache.get(f"snl2-{self.tile}", phash)
-        if cached is not None and getattr(cached, "sched_k", None) is not None:
+        # "snl3": cache-key bump — round-2 cached symbolics lack the flat
+        # budgeted schedule (f_diag et al.)
+        cached = ckpt.default_cache.get(f"snl3-{self.tile}", phash)
+        if cached is not None and getattr(cached, "f_diag", None) is not None:
             self.sym = cached
         else:
             self.sym = analyze(A, m=self.tile)
-            ckpt.default_cache.put(f"snl2-{self.tile}", phash, self.sym)
+            ckpt.default_cache.put(f"snl3-{self.tile}", phash, self.sym)
         self._phash = phash
         s = self.sym
         # level-scheduled index tables: gather per-column tables through the
@@ -775,10 +884,13 @@ class SupernodalCholesky:
             self.analyze(A, phash=phash)
         s = self.sym
         vals = extract_values(s, A)
-        a_blk, a_i, a_j, _, diag_b, col_b, upd_b, _ = self._tables
-        self.blocks = _factor_scan_level(
+        a_blk, a_i, a_j = self._tables[:3]
+        self.blocks = _factor_scan_flat(
             jnp.asarray(vals, dtype=default_dtype()), a_blk, a_i, a_j,
-            diag_b, col_b, upd_b, n_blocks=s.n_blocks, m=s.m)
+            jnp.asarray(s.f_diag), jnp.asarray(s.f_pan_blk),
+            jnp.asarray(s.f_pan_own), jnp.asarray(s.f_upd_a),
+            jnp.asarray(s.f_upd_b), jnp.asarray(s.f_upd_d),
+            n_blocks=s.n_blocks, m=s.m)
         dcheck = self.blocks[jnp.asarray(s.diag_ids)]
         if not bool(jnp.all(jnp.isfinite(dcheck))):
             raise RuntimeError(

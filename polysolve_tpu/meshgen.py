@@ -129,6 +129,27 @@ def poisson_stiffness(pts: np.ndarray, cells: np.ndarray,
     return sp.csr_matrix(A)
 
 
+def mass_matrix(pts: np.ndarray, cells: np.ndarray,
+                block_size: int = 1) -> sp.csr_matrix:
+    """P1 consistent mass matrix M_ij = ∫ φ_i φ_j (simplex rule
+    V/((k)(k+1))·(1+δ_ij), the V/20·(1+δ) tet formula). With
+    ``block_size`` d > 1, each scalar entry becomes a d×d identity block
+    with node-major interleaved dofs — the structure class of the
+    reference's crystm03 fixture (an FEM mass matrix with 3 dofs/node,
+    tests/test_linear_solver.cpp:604-731). SPD, well-conditioned."""
+    n = pts.shape[0]
+    k = cells.shape[1]
+    vols = np.abs(_volumes(pts, cells))  # Delaunay emits both orientations
+    base = (np.ones((k, k)) + np.eye(k)) / (k * (k + 1))
+    Me = vols[:, None, None] * base[None]
+    rows = np.repeat(cells[:, :, None], k, axis=2)
+    cols = np.repeat(cells[:, None, :], k, axis=1)
+    M = sp.csr_matrix(_assemble(rows, cols, Me, n))
+    if block_size > 1:
+        M = sp.csr_matrix(sp.kron(M, sp.identity(block_size), format="csr"))
+    return M
+
+
 def elasticity_stiffness(pts: np.ndarray, cells: np.ndarray, E: float = 1.0,
                          nu: float = 0.3,
                          dirichlet_frac: float = 0.02) -> sp.csr_matrix:
