@@ -239,7 +239,10 @@ def _rap_apply_block(A_dev, Dinv, w, E, grid):
         q = ops.matvec(A_dev, p)
         return _tT_apply(grid, q - w * ops.matvec(A_dev, Dinv * q))
 
-    return jax.vmap(one, in_axes=1, out_axes=0)(E)
+    # lax.map, not vmap: the Pallas DIA matvec's ANY-space x operand has no
+    # batching rule on TPU ("blocks having the same block shape as the
+    # array" lowering error); sequential columns are the cost model anyway
+    return jax.lax.map(one, jnp.swapaxes(E, 0, 1))
 
 
 @jax.jit

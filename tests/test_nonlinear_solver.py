@@ -73,21 +73,23 @@ def _minimize(solver_name, ls, fn, x0, max_iter=2000, strict=True):
 # --------------------------------------------------------------------------- #
 
 
+@pytest.mark.parametrize("ls", LINE_SEARCHES)
 @pytest.mark.parametrize("pname", list(PROBLEMS))
 @pytest.mark.parametrize("sname", SOLVERS)
-def test_nonlinear_all(sname, pname):
-    """Reference semantics (test_nonlinear_solver.cpp:316-326): each random
-    restart must either give up (exception / iteration limit — tolerated) or
-    actually be at a critical point: no silent wrong convergence. On the
-    convex problems the strong solvers must additionally succeed."""
+def test_nonlinear_all(sname, pname, ls):
+    """Reference semantics (test_nonlinear_solver.cpp:316-326, :422-426):
+    ALL solvers × ALL 4 line searches × problems × 5 random restarts. Each
+    restart must either give up (exception / iteration limit — tolerated,
+    like the reference's catch) or actually be at a critical point: no
+    silent wrong convergence. On the convex problems the strong solvers
+    with a real line search must additionally succeed."""
     fn, dim, x_star = PROBLEMS[pname]
-    rng = np.random.default_rng(hash((sname, pname)) % 2**31)
-    ls = "RobustArmijo" if sname not in ("ADAM",) else "None"
+    rng = np.random.default_rng(hash((sname, pname, ls)) % 2**31)
     successes = 0
-    for trial in range(3):
+    for trial in range(5):
         x0 = rng.uniform(-1.5, 1.5, dim)
         try:
-            x, s, prob = _minimize(sname, ls, fn, x0)
+            x, s, prob = _minimize(sname, ls, fn, x0, max_iter=1000)
         except NonlinearSolverError:
             continue  # reference tolerates exceptions in the hard battery
         if not s.status.is_success:
@@ -96,11 +98,11 @@ def test_nonlinear_all(sname, pname):
         ok = np.linalg.norm(g) < 1e-6 or (
             x_star is not None and np.linalg.norm(x - x_star) < 1e-6
         )
-        assert ok, (f"{sname} on {pname}: claimed {s.status} but "
+        assert ok, (f"{sname}/{ls} on {pname}: claimed {s.status} but "
                     f"‖∇f‖={np.linalg.norm(g):.2e}")
         successes += 1
-    if pname in ("Sphere", "Quadratic") and sname not in ("ADAM", "GradientDescent"):
-        assert successes >= 2, f"{sname} on {pname}: {successes}/3 converged"
+    if pname in ("Sphere", "Quadratic")             and sname not in ("ADAM", "GradientDescent")             and ls in ("RobustArmijo", "Backtracking", "Armijo"):
+        assert successes >= 3, f"{sname}/{ls} on {pname}: {successes}/5"
 
 
 # --------------------------------------------------------------------------- #
