@@ -65,9 +65,11 @@ def build_nonlinear_spec_rules() -> List[Dict[str, Any]]:
         "iterations_per_strategy": {"type": ["int", "list"], "default": 5},
         "allow_out_of_iterations": b(False),
         "line_search": {
+            # the reference's exact option set (nonlinear-solver-spec.json
+            # /line_search/method)
             "method": {"type": "string", "default": "RobustArmijo",
-                       "options": ["Backtracking", "Armijo", "ArmijoAlt",
-                                   "RobustArmijo", "MoreThuente", "None"]},
+                       "options": ["Armijo", "RobustArmijo", "Backtracking",
+                                   "None"]},
             "use_grad_norm_tol": f(1e-6),
             "min_step_size": f(1e-10),
             "max_step_size_iter": i(30),
