@@ -64,7 +64,10 @@ from polysolve_tpu.types import default_dtype
 
 LANES = 128
 CR_DEFAULT = 128  # slot-rows per chunk
-ST_DEFAULT = 32   # dest tiles per supertile (multiple of 8; measured best)
+ST_DEFAULT = 120  # dest tiles per supertile — larger supertiles let the
+                  # first-fit packer fill slots denser: padding 2.9 (st=32)
+                  # → 2.3 (st=120) and 11.55 → 14.11 Gnnz/s measured on the
+                  # 1M-row elasticity fixture (round3_tpu_results.jsonl)
 BS_DEFAULT = 2    # chunks per superchunk/grid step (measured best; 4 loses
                   # more to window-break padding than it saves in overhead)
 WIN = 128         # x2d rows per chunk window
