@@ -156,8 +156,14 @@ def _t_apply(grid, xc: jnp.ndarray) -> jnp.ndarray:
     for ax, g in enumerate(grid):
         E = jnp.asarray(_expand_matrix(g), dtype=xc.dtype)
         # contract the coarse axis with E's column index; the fine axis
-        # lands at the end — move it back in place
-        x = jnp.moveaxis(jnp.tensordot(x, E, axes=[[ax], [1]]), -1, ax)
+        # lands at the end — move it back in place. HIGHEST precision: the
+        # TPU default runs fp32 dots as ONE bf16 MXU pass (~1e-3 rel error)
+        # — enough to fail the RAP probe verification and degrade the
+        # hierarchy; one-hot contractions are bandwidth-bound so the 3-pass
+        # fp32 emulation costs nothing
+        x = jnp.moveaxis(jnp.tensordot(x, E, axes=[[ax], [1]],
+                                       precision=jax.lax.Precision.HIGHEST),
+                         -1, ax)
     return x.reshape(-1) * np.float64(1.0 / np.sqrt(2.0 ** d)).astype(xc.dtype)
 
 
@@ -168,7 +174,9 @@ def _tT_apply(grid, y: jnp.ndarray) -> jnp.ndarray:
     x = y.reshape(grid)
     for ax, g in enumerate(grid):
         E = jnp.asarray(_expand_matrix(g), dtype=y.dtype)
-        x = jnp.moveaxis(jnp.tensordot(x, E, axes=[[ax], [0]]), -1, ax)
+        x = jnp.moveaxis(jnp.tensordot(x, E, axes=[[ax], [0]],
+                                       precision=jax.lax.Precision.HIGHEST),
+                         -1, ax)
     return x.reshape(-1) * np.float64(1.0 / np.sqrt(2.0 ** d)).astype(y.dtype)
 
 
@@ -428,7 +436,8 @@ def cycle(state: AMGState, r: jnp.ndarray, start: int = 0) -> jnp.ndarray:
     def level_solve(l: int, rl: jnp.ndarray) -> jnp.ndarray:
         if l == len(state.levels):
             return jnp.dot(state.coarse_inv, rl,
-                           preferred_element_type=rl.dtype)
+                           preferred_element_type=rl.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
         lev = state.levels[l]
         z = _smooth(lev, rl)
         resid = rl - ops.matvec(lev.A, z)

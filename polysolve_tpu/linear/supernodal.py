@@ -483,7 +483,8 @@ def _factor_scan(a_vals, a_blk, a_i, a_j, diag_ids, col_ids, upd_ids,
         blocks = blocks.at[ids].set(Loff)
         # right-looking update: A[ia, ib] -= L_off[a] · L_off[b]ᵀ (MXU GEMMs)
         U = jnp.einsum("aij,bkj->abik", Loff, Loff,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         blocks = blocks.at[upd].add(-U)
         return blocks, None
 
@@ -554,7 +555,8 @@ def _factor_scan_level(a_vals, a_blk, a_i, a_j, diag_b, col_b, upd_b,
         blocks = blocks.at[diag_ids].set(Ld)
         blocks = blocks.at[ids].set(Loff)
         U = jnp.einsum("caij,cbkj->cabik", Loff, Loff,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         blocks = blocks.at[upd].add(-U)
         # restore the guard after padded writes so dummy columns keep
         # factoring I (no NaN from cholesky of garbage)
@@ -590,7 +592,8 @@ def _factor_scan_flat(a_vals, a_blk, a_i, a_j, f_diag, f_pan_blk, f_pan_own,
         La = blocks[ua]                                      # (U, m, m)
         Lb = blocks[ub]
         U = jnp.einsum("uij,ukj->uik", La, Lb,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         blocks = blocks.at[ud].add(-U)
         return blocks.at[n_blocks].set(eye), None
 
@@ -615,7 +618,8 @@ def _solve_scan_level(blocks, k_b, diag_b, col_b, rows_b, B,
         y = y.at[ks].set(yk)
         valid = (ids < n_blocks)[:, :, None, None]
         Lo = jnp.where(valid, blocks[ids], 0.0)              # (Bc, W, m, m)
-        contrib = jnp.einsum("caij,cjr->cair", Lo, yk)
+        contrib = jnp.einsum("caij,cjr->cair", Lo, yk,
+                             precision=jax.lax.Precision.HIGHEST)
         return y.at[rows].add(-contrib), None
 
     y, _ = lax.scan(fwd, y, (k_b, diag_b, col_b, rows_b))
@@ -624,7 +628,8 @@ def _solve_scan_level(blocks, k_b, diag_b, col_b, rows_b, B,
         ks, diag_ids, ids, rows = xs
         valid = (ids < n_blocks)[:, :, None, None]
         Lo = jnp.where(valid, blocks[ids], 0.0)
-        s = jnp.einsum("caij,cair->cjr", Lo, x[rows])
+        s = jnp.einsum("caij,cair->cjr", Lo, x[rows],
+                       precision=jax.lax.Precision.HIGHEST)
         xk = jax.scipy.linalg.solve_triangular(
             jnp.swapaxes(blocks[diag_ids], -1, -2), x[ks] - s, lower=False)
         return x.at[ks].set(xk), None
@@ -679,10 +684,12 @@ def _lu_factor_scan(aL_vals, aL_blk, aL_i, aL_j, aU_vals, aU_blk, aU_i, aU_j,
         Ub = Ub.at[ids].set(Uoff)
         # lower/diag targets: A_{ia,ib} -= L_{ia,k} · U_{k,ib}   (ia ≥ ib)
         Lb = Lb.at[upd].add(-jnp.einsum("aij,bjk->abik", Loff, Uoff,
-                                        preferred_element_type=dtype))
+                                        preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST))
         # mirror upper targets (same flat ids): A_{ib,ia} -= L_{ib,k}·U_{k,ia}
         Ub = Ub.at[upd].add(-jnp.einsum("bij,ajk->abik", Loff, Uoff,
-                                        preferred_element_type=dtype))
+                                        preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST))
         return (Lb, Ub), perm
 
     (Lb, Ub), perms = lax.scan(step, (Lb, Ub), (diag_ids, col_ids, upd_ids))
