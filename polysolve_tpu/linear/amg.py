@@ -275,6 +275,29 @@ def _extract_dia(Y, cls, offs_arr, valid):
     return vals
 
 
+class _DenseCarrier:
+    """Coarsest-level operator probed DENSE (one probe per coarse cell —
+    no DIA extraction program): used when the next level is the final one
+    (n_c ≤ coarse_enough-ish), where the extract scan over thousands of
+    candidate offsets is the single slowest remote compile of the whole
+    setup (observed wedging the axon compile helper >1 h at 4913
+    candidates) and the operator is about to be densely inverted anyway."""
+
+    def __init__(self, dense: np.ndarray):
+        self._d = np.asarray(dense, dtype=np.float64)
+        self.shape = self._d.shape
+        self.nnz = int(np.count_nonzero(self._d))
+
+    def diagonal(self) -> np.ndarray:
+        return np.diag(self._d).copy()
+
+    def toarray(self) -> np.ndarray:
+        return self._d
+
+    def tocsr(self) -> sp.csr_matrix:
+        return sp.csr_matrix(self._d)
+
+
 class _DiaCarrier:
     """Coarse-level operator held as device DIA between setup iterations —
     the fast structured path never materializes host CSR unless a fallback
@@ -315,6 +338,42 @@ class _DiaCarrier:
 
     def toarray(self) -> np.ndarray:
         return self.tocsr().toarray()
+
+
+def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
+                     logger: Optional[logging.Logger] = None):
+    """Dense probing for the final (coarsest-to-be) level: Ac columns are
+    the composed responses to the identity basis, chunked through the same
+    _rap_apply_block program the sparse probing uses (cache-shared)."""
+    cg = tuple(g // 2 for g in grid)
+    n_c = int(np.prod(cg))
+    n_f = int(np.prod(grid))
+    B = int(max(4, min(64, (3 << 28) // (64 * max(n_f, 1)))))
+    w_dev = jnp.asarray(w, dtype=dtype)
+    cols = []
+    for q0 in range(0, n_c, B):
+        q1 = min(q0 + B, n_c)
+        E = np.zeros((n_c, B))
+        E[np.arange(q0, q1), np.arange(q1 - q0)] = 1.0
+        Y = _rap_apply_block(A_dev, Dinv_dev, w_dev,
+                             jnp.asarray(E, dtype=dtype), grid)
+        cols.append(np.asarray(Y[: q1 - q0], dtype=np.float64))
+    Ac = np.concatenate(cols, axis=0).T          # responses are rows
+    # verification against one composed apply on a random vector
+    z = np.random.default_rng(7).standard_normal(n_c)
+    Z = np.zeros((n_c, B))
+    Z[:, 0] = z
+    y_ref = np.asarray(_rap_apply_block(
+        A_dev, Dinv_dev, w_dev, jnp.asarray(Z, dtype=dtype), grid)[0],
+        dtype=np.float64)
+    rel = np.linalg.norm(Ac @ z - y_ref) / max(np.linalg.norm(y_ref), 1e-300)
+    tol = 1e-10 if dtype == jnp.float64 else 1e-4
+    if rel > tol:
+        if logger:
+            logger.warning("dense RAP probe verification failed (rel %.2e)",
+                           rel)
+        return None
+    return _DenseCarrier(0.5 * (Ac + Ac.T))      # symmetrize fp noise
 
 
 def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
@@ -365,6 +424,14 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
     mesh = np.meshgrid(*axes, indexing="ij")
     deltas = np.stack([m_ax.reshape(-1) for m_ax in mesh], axis=1)  # (K, d)
     offs_cand = (deltas * np.asarray(strides)).sum(axis=1)
+    if len(offs_cand) > 2048:
+        # extract-scan programs beyond ~2k offsets have wedged the remote
+        # compile helper; such wide stencils are not DIA-worthy anyway
+        if logger:
+            logger.warning("structured RAP probe: %d candidate offsets "
+                           "exceed the extract cap — host fallback",
+                           len(offs_cand))
+        return None
     order = np.argsort(offs_cand)
     offs_cand = offs_cand[order]
     deltas = deltas[order]
@@ -521,6 +588,9 @@ class AMGHierarchy:
         total_nnz = A0.nnz
         Al, Bl = A0, B
         while Al.shape[0] > coarse_enough and len(levels) < max_levels - 1:
+            if isinstance(Al, _DenseCarrier):
+                # rare: a dense-probed level that still isn't coarse enough
+                Al = Al.tocsr()
             structured = (grid is not None and all(g % 2 == 0 for g in grid)
                           and int(np.prod(grid)) == Al.shape[0])
 
@@ -557,8 +627,16 @@ class AMGHierarchy:
                         A_dev, Dinv_dev, v0,
                         iters=int(params.get("power_iters", 20)))), 1e-12)
                     w_used = omega / rho_da
-                    carrier = _probe_structured_rap(
-                        A_dev, Dinv_dev, w_used, grid, dtype, logger)
+                    n_c_next = int(np.prod([g // 2 for g in grid]))
+                    if n_c_next <= max(coarse_enough, 2048):
+                        # final level: dense probing (no DIA-extract scan —
+                        # the wide-offset extract compile is the slowest
+                        # program of the whole setup, see _DenseCarrier)
+                        carrier = _probe_dense_rap(
+                            A_dev, Dinv_dev, w_used, grid, dtype, logger)
+                    else:
+                        carrier = _probe_structured_rap(
+                            A_dev, Dinv_dev, w_used, grid, dtype, logger)
                 if carrier is not None:
                     aggregates.append((None, carrier.shape[0]))
                     if smoother == "cheb1":
