@@ -314,24 +314,34 @@ def _bench_amg_pcg(A, x_seed):
     t0 = time.perf_counter()
     s.solve(b, x)
     overhead_s = time.perf_counter() - t0
-    dev_s = max(solve_s - overhead_s, 1e-3)
+    dev_s = solve_s - overhead_s
     # aggregation-reuse refactorize (same pattern, new values —
     # the Newton-loop optimization; the reference rebuilds AMGCL fully,
     # AMGCL.cpp:148-184)
     t0 = time.perf_counter()
     s.factorize(A)
     refac_s = time.perf_counter() - t0
-    return {
+    out = {
         "n": n, "setup_s": round(setup_s, 1),
         "refactorize_same_pattern_s": round(refac_s, 1),
         "warm_solve_s": round(solve_s, 2),
         "transfer_overhead_s": round(overhead_s, 2),
         "iterations": iters,
         "iters_per_s_wall": round(iters / solve_s, 2),
-        "iters_per_s_device": round(iters / dev_s, 2),
         "rel_residual": rel,
         "converged": bool(info["converged"]),
     }
+    if dev_s > 0.2:
+        out["iters_per_s_device"] = round(iters / dev_s, 2)
+    else:
+        # device time vanished under the tunnel-transfer noise floor: the
+        # overhead-subtraction estimator can't resolve it. Report the
+        # honest lower bound instead of a division artifact; the
+        # per-application cycle time is measured directly in
+        # experiments/amg_cycle_profile_results.jsonl (10.6 ms at m=192).
+        out["iters_per_s_device_lower_bound"] = round(iters / 0.2, 1)
+        out["device_time_below_overhead_floor"] = True
+    return out
 
 
 if __name__ == "__main__":

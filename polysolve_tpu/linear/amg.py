@@ -234,6 +234,17 @@ def _power_iter_dia(A_dev, Dinv, v0, iters: int = 20):
     return lam
 
 
+@functools.partial(jax.jit, static_argnames=("grid", "B"))
+def _rap_probe_chunk(A_dev, Dinv, w, cls, q0, grid, B: int):
+    """Probe columns [q0, q0+B) built ON DEVICE from the class map (or the
+    identity when cls is an iota): shipping host-built probe matrices
+    through the remote tunnel cost ~60 s per setup at n=7M (~450 MB of
+    indicator vectors) — here only the scalar q0 crosses per chunk."""
+    cols = q0 + jnp.arange(B, dtype=jnp.int32)
+    E = (cls[:, None] == cols[None, :]).astype(Dinv.dtype)
+    return _rap_apply_block(A_dev, Dinv, w, E, grid)
+
+
 @functools.partial(jax.jit, static_argnames=("grid",))
 def _rap_apply_block(A_dev, Dinv, w, E, grid):
     """Y = (R·A·P)·E for a block of probe columns E (n_c, B); returns
@@ -350,13 +361,12 @@ def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
     n_f = int(np.prod(grid))
     B = int(max(4, min(64, (3 << 28) // (64 * max(n_f, 1)))))
     w_dev = jnp.asarray(w, dtype=dtype)
+    iota = jnp.arange(n_c, dtype=jnp.int32)      # identity "class" map
     cols = []
     for q0 in range(0, n_c, B):
         q1 = min(q0 + B, n_c)
-        E = np.zeros((n_c, B))
-        E[np.arange(q0, q1), np.arange(q1 - q0)] = 1.0
-        Y = _rap_apply_block(A_dev, Dinv_dev, w_dev,
-                             jnp.asarray(E, dtype=dtype), grid)
+        Y = _rap_probe_chunk(A_dev, Dinv_dev, w_dev, iota,
+                             jnp.int32(q0), grid, B)
         cols.append(np.asarray(Y[: q1 - q0], dtype=np.float64))
     Ac = np.concatenate(cols, axis=0).T          # responses are rows
     # verification against one composed apply on a random vector
@@ -402,14 +412,14 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
     # temporaries) bounded to ≈0.8 GB transient
     B = int(max(4, min(64, (3 << 28) // (64 * max(n_f, 1)))))
     w_dev = jnp.asarray(w, dtype=dtype)
+    cls_dev32 = jnp.asarray(cls, dtype=jnp.int32)
     ys = []
-    eye_cls = np.equal.outer(np.arange(n_cls), cls)   # (n_cls, n_c) bool
     for q0 in range(0, n_cls, B):
         q1 = min(q0 + B, n_cls)
-        E = np.zeros((n_c, B), dtype=np.float64)
-        E[:, : q1 - q0] = eye_cls[q0:q1].T
-        Y = _rap_apply_block(A_dev, Dinv_dev, w_dev,
-                             jnp.asarray(E, dtype=dtype), grid)
+        # probe indicators built ON DEVICE from the class map — no host
+        # E matrices through the tunnel (was ~60 s/setup at n=7M)
+        Y = _rap_probe_chunk(A_dev, Dinv_dev, w_dev, cls_dev32,
+                             jnp.int32(q0), grid, B)
         ys.append(Y[: q1 - q0])
     Y = jnp.concatenate(ys, axis=0)                   # (n_cls, n_c) device
 
