@@ -234,56 +234,74 @@ def _power_iter_dia(A_dev, Dinv, v0, iters: int = 20):
     return lam
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "B"))
-def _rap_probe_chunk(A_dev, Dinv, w, cls, q0, grid, B: int):
-    """Probe columns [q0, q0+B) built ON DEVICE from the class map (or the
-    identity when cls is an iota): shipping host-built probe matrices
-    through the remote tunnel cost ~60 s per setup at n=7M (~450 MB of
-    indicator vectors) — here only the scalar q0 crosses per chunk."""
-    cols = q0 + jnp.arange(B, dtype=jnp.int32)
-    E = (cls[:, None] == cols[None, :]).astype(Dinv.dtype)
-    return _rap_apply_block(A_dev, Dinv, w, E, grid)
+_PROBE_B = 32      # probe columns per batched-SpMM chunk
+_EXTRACT_CHUNK = 1024  # offsets per extract program (fixed-shape chunks)
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
-def _rap_apply_block(A_dev, Dinv, w, E, grid):
-    """Y = (R·A·P)·E for a block of probe columns E (n_c, B); returns
-    (B, n_c). P = (I − ωD⁻¹A)T, R = Pᵀ — identical formulas to
-    _p_apply/_r_apply, so the probed coarse operator is Galerkin-consistent
-    with the device cycle's transfers by construction."""
+def _rap_apply_bt(A_dev, Dinv, w, E, grid):
+    """(R·A·P) applied to a (B, n_c) block of vectors in transposed-batch
+    layout; returns (B, n_c). P = (I − ωD⁻¹A)T, R = Pᵀ — identical formulas
+    to _p_apply/_r_apply, so the probed coarse operator is
+    Galerkin-consistent with the device cycle's transfers by construction.
+    The four A-applications are batched DIA SpMMs (ops.matmat_bt): the
+    (K, n) vals plane streams from HBM once per apply for all B columns."""
+    t = jax.vmap(lambda e: _t_apply(grid, e))(E)
+    p = t - w * (Dinv[None, :] * ops.matmat_bt(A_dev, t))
+    q = ops.matmat_bt(A_dev, p)
+    return jax.vmap(lambda v: _tT_apply(grid, v))(
+        q - w * ops.matmat_bt(A_dev, Dinv[None, :] * q))
 
-    def one(e):
-        t = _t_apply(grid, e)
-        p = t - w * (Dinv * ops.matvec(A_dev, t))
-        q = ops.matvec(A_dev, p)
-        return _tT_apply(grid, q - w * ops.matvec(A_dev, Dinv * q))
 
-    # lax.map, not vmap: the Pallas DIA matvec's ANY-space x operand has no
-    # batching rule on TPU ("blocks having the same block shape as the
-    # array" lowering error); sequential columns are the cost model anyway
-    return jax.lax.map(one, jnp.swapaxes(E, 0, 1))
+@functools.partial(jax.jit, static_argnames=("grid", "n_chunks"))
+def _rap_probe_all(A_dev, Dinv, w, cls, grid, n_chunks: int):
+    """ALL probe responses in one device program: lax.map over column
+    chunks of the batched composed apply. Probe indicators are built ON
+    DEVICE from the class map (only scalars cross the tunnel), and one
+    host→device call replaces one per chunk (~30 ms RTT each on axon).
+    Returns (n_chunks·_PROBE_B, n_c) — rows beyond the true class count
+    are zero columns (no class matches) and are never read by extraction."""
+
+    def one(q):
+        cols = q * _PROBE_B + jnp.arange(_PROBE_B, dtype=jnp.int32)
+        E = (cls[None, :] == cols[:, None]).astype(Dinv.dtype)
+        return _rap_apply_bt(A_dev, Dinv, w, E, grid)
+
+    Y = jax.lax.map(one, jnp.arange(n_chunks, dtype=jnp.int32))
+    return Y.reshape(n_chunks * _PROBE_B, -1)
 
 
 @jax.jit
-def _extract_dia(Y, cls, offs_arr, valid):
+def _extract_dia(Y, cls, offs_arr, deltas, coords, cg_arr):
     """vals[k, i] = Y[cls[i + offs[k]], i] masked by per-offset GEOMETRIC
-    validity — reads the coarse DIA diagonals out of the probe responses.
-
-    ``valid`` (K, n_c) marks cells whose per-axis move stays inside the
-    grid: a linear offset that wraps an axis lands on a cell whose COLOR
-    CLASS can contain a true stencil neighbor of i, so Y[cls[j], i] would
-    read that neighbor's response — a plain 0≤i+off<n range mask is NOT
-    sufficient (measured: rel 0.5 probe error on 24×24 without this).
-    lax.scan keeps the program one gather regardless of K."""
+    validity, computed ON DEVICE from the per-axis deltas: a linear offset
+    that wraps an axis lands on a cell whose COLOR CLASS can contain a true
+    stencil neighbor of i, so Y[cls[j], i] would read that neighbor's
+    response — a plain 0≤i+off<n range mask is NOT sufficient (measured:
+    rel 0.5 probe error on 24×24 without this). Callers pad offsets to
+    _EXTRACT_CHUNK-sized pieces so every extract program has the same shape
+    — mile-long scans (~5k steps) have wedged the axon compile helper
+    indefinitely, and shipping host-built (K, n_c) masks cost ~180 MB of
+    tunnel transfer per factorize."""
 
     def body(_, xs):
-        off, v = xs
+        off, delta = xs
         idx = jnp.roll(cls, -off)
         g = jnp.take_along_axis(Y, idx[None, :], axis=0)[0]
-        return None, g * v
+        moved = coords + delta[:, None]
+        ok = jnp.all((moved >= 0) & (moved < cg_arr[:, None]), axis=0)
+        return None, g * ok.astype(g.dtype)
 
-    _, vals = jax.lax.scan(body, None, (offs_arr, valid))
+    _, vals = jax.lax.scan(body, None, (offs_arr, deltas))
     return vals
+
+
+@jax.jit
+def _row_nnz(vals):
+    """Per-diagonal nonzero counts — ONE readback serves both the zero-prune
+    mask and the nnz total (two scalarized programs cost two remote
+    compiles on axon)."""
+    return jnp.sum(vals != 0, axis=1)
 
 
 class _DenseCarrier:
@@ -351,32 +369,63 @@ class _DiaCarrier:
         return self.tocsr().toarray()
 
 
-def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
-                     logger: Optional[logging.Logger] = None):
-    """Dense probing for the final (coarsest-to-be) level: Ac columns are
-    the composed responses to the identity basis, chunked through the same
-    _rap_apply_block program the sparse probing uses (cache-shared)."""
-    cg = tuple(g // 2 for g in grid)
-    n_c = int(np.prod(cg))
-    n_f = int(np.prod(grid))
-    B = int(max(4, min(64, (3 << 28) // (64 * max(n_f, 1)))))
-    w_dev = jnp.asarray(w, dtype=dtype)
-    iota = jnp.arange(n_c, dtype=jnp.int32)      # identity "class" map
-    cols = []
-    for q0 in range(0, n_c, B):
-        q1 = min(q0 + B, n_c)
-        Y = _rap_probe_chunk(A_dev, Dinv_dev, w_dev, iota,
-                             jnp.int32(q0), grid, B)
-        cols.append(np.asarray(Y[: q1 - q0], dtype=np.float64))
-    Ac = np.concatenate(cols, axis=0).T          # responses are rows
-    # verification against one composed apply on a random vector
+@dataclass
+class _ProbePlan:
+    """Per-level probe artifacts cached across factorizes of one sparsity
+    pattern (the Newton-loop refactorize optimization, VERDICT r3 #1): the
+    candidate set, chunk geometry, and — critically — the KEPT offset subset.
+    Reusing ``kept`` keeps the coarse DIA shapes and the AMGState treedef
+    identical across refactorizes, so the compiled cycle/solve executables
+    are reused; re-verification still runs every time and a value-pattern
+    change that invalidates the plan falls back to a fresh prune."""
+
+    grid: tuple
+    dense: bool = False
+    offs_pad: Any = None      # (C_pad,) int32 candidate offsets, padded
+    deltas_pad: Any = None    # (C_pad, d) int32 per-axis moves, padded
+    n_chunks: int = 0         # probe chunks of _PROBE_B columns
+    kept: Any = None          # indices into offs_pad kept last factorize
+
+
+def _verify_probe(A_dev, Dinv_dev, w_dev, grid, dtype, n_c, apply_dia):
+    """rel error of the probed operator vs one composed apply on a random
+    vector (row 0 of a _PROBE_B batch — reuses the probe program family)."""
     z = np.random.default_rng(7).standard_normal(n_c)
-    Z = np.zeros((n_c, B))
-    Z[:, 0] = z
-    y_ref = np.asarray(_rap_apply_block(
+    Z = np.zeros((_PROBE_B, n_c))
+    Z[0] = z
+    y_ref = np.asarray(_rap_apply_bt(
         A_dev, Dinv_dev, w_dev, jnp.asarray(Z, dtype=dtype), grid)[0],
         dtype=np.float64)
-    rel = np.linalg.norm(Ac @ z - y_ref) / max(np.linalg.norm(y_ref), 1e-300)
+    y_probe = apply_dia(z)
+    denom = max(float(np.linalg.norm(y_ref)), 1e-300)
+    return float(np.linalg.norm(y_probe - y_ref)) / denom
+
+
+def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
+                     logger: Optional[logging.Logger] = None,
+                     timings: Optional[dict] = None):
+    """Dense probing for the final (coarsest-to-be) level: Ac columns are
+    the composed responses to the identity basis — one _rap_probe_all
+    program with the identity class map (every class is its own column)."""
+    import time as _time
+
+    cg = tuple(g // 2 for g in grid)
+    n_c = int(np.prod(cg))
+    w_dev = jnp.asarray(w, dtype=dtype)
+    iota = jnp.arange(n_c, dtype=jnp.int32)      # identity "class" map
+    n_chunks = -(-n_c // _PROBE_B)
+    t0 = _time.perf_counter()
+    Y = _rap_probe_all(A_dev, Dinv_dev, w_dev, iota, grid, n_chunks)
+    Ac = np.asarray(Y[:n_c], dtype=np.float64).T   # responses are rows
+    if timings is not None:
+        timings["probe_extract_s"] = timings.get("probe_extract_s", 0.0) \
+            + _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    rel = _verify_probe(A_dev, Dinv_dev, w_dev, grid, dtype, n_c,
+                        lambda z: Ac @ z)
+    if timings is not None:
+        timings["verify_s"] = timings.get("verify_s", 0.0) \
+            + _time.perf_counter() - t0
     tol = 1e-10 if dtype == jnp.float64 else 1e-4
     if rel > tol:
         if logger:
@@ -387,14 +436,19 @@ def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
 
 
 def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
-                          logger: Optional[logging.Logger] = None):
-    """Compute Ac = PᵀAP for a structured level on device. Returns a
-    _DiaCarrier, or None when verification fails (caller falls back to the
-    host spgemm path)."""
+                          logger: Optional[logging.Logger] = None,
+                          plan: Optional[_ProbePlan] = None,
+                          timings: Optional[dict] = None):
+    """Compute Ac = PᵀAP for a structured level on device. Returns
+    (_DiaCarrier, _ProbePlan), or (None, None) when verification fails
+    (caller falls back to the host spgemm path). ``plan`` (from a previous
+    factorize of the same pattern) skips the host-side candidate/geometry
+    work and pins the kept-offset subset so all device shapes repeat."""
+    import time as _time
+
     d = len(grid)
     cg = tuple(g // 2 for g in grid)
     n_c = int(np.prod(cg))
-    n_f = int(np.prod(grid))
     r_ax = _axis_radii(A_dev.offsets, grid)
     # coarse stencil radius bound: P spans [−r_A, 1+r_A] around 2c per axis,
     # A couples r_A more ⇒ |2Δc| ≤ 3r_A + 2
@@ -407,86 +461,107 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
     for co, s in zip(coords, s_ax):
         cls = cls * s + (co % s)
 
-    # probe matrix in chunks sized to bound fine-level transient memory
-    # ~16 fine fp32 intermediates per column (vmapped t/p/q + matvec
-    # temporaries) bounded to ≈0.8 GB transient
-    B = int(max(4, min(64, (3 << 28) // (64 * max(n_f, 1)))))
-    w_dev = jnp.asarray(w, dtype=dtype)
-    cls_dev32 = jnp.asarray(cls, dtype=jnp.int32)
-    ys = []
-    for q0 in range(0, n_cls, B):
-        q1 = min(q0 + B, n_cls)
-        # probe indicators built ON DEVICE from the class map — no host
-        # E matrices through the tunnel (was ~60 s/setup at n=7M)
-        Y = _rap_probe_chunk(A_dev, Dinv_dev, w_dev, cls_dev32,
-                             jnp.int32(q0), grid, B)
-        ys.append(Y[: q1 - q0])
-    Y = jnp.concatenate(ys, axis=0)                   # (n_cls, n_c) device
-
-    # candidate offsets: the box of rc per axis, as linear coarse offsets,
-    # each with its GEOMETRIC validity mask (per-axis move stays in-grid —
-    # wrapped linear moves alias into classes that contain true stencil
-    # neighbors, see _extract_dia)
-    strides = [1] * d
-    for ax in range(d - 2, -1, -1):
-        strides[ax] = strides[ax + 1] * cg[ax + 1]
-    axes = [np.arange(-rc, rc + 1) for rc in rc_ax]
-    mesh = np.meshgrid(*axes, indexing="ij")
-    deltas = np.stack([m_ax.reshape(-1) for m_ax in mesh], axis=1)  # (K, d)
-    offs_cand = (deltas * np.asarray(strides)).sum(axis=1)
-    if len(offs_cand) > 2048:
-        # extract-scan programs beyond ~2k offsets have wedged the remote
-        # compile helper; such wide stencils are not DIA-worthy anyway
+    if n_cls > 8192:
+        # a stencil wide enough to need >8k probe colors is not DIA-worthy
+        # and the probe battery would exceed the host-spgemm cost
         if logger:
-            logger.warning("structured RAP probe: %d candidate offsets "
-                           "exceed the extract cap — host fallback",
-                           len(offs_cand))
-        return None
-    order = np.argsort(offs_cand)
-    offs_cand = offs_cand[order]
-    deltas = deltas[order]
-    valid = np.ones((len(offs_cand), n_c), dtype=bool)
-    for ax in range(d):
-        co = coords[ax][None, :]                      # (1, n_c)
-        da = deltas[:, ax][:, None]                   # (K, 1)
-        valid &= (co + da >= 0) & (co + da < cg[ax])
+            logger.warning("structured RAP probe: %d probe colors exceed "
+                           "the probe cap — host fallback", n_cls)
+        return None, None
 
+    t0 = _time.perf_counter()
+    if plan is not None and not plan.dense and plan.grid == grid:
+        offs_pad, deltas_pad = plan.offs_pad, plan.deltas_pad
+        n_chunks = plan.n_chunks
+    else:
+        plan = None
+        # candidate offsets: the box of rc per axis, as linear coarse
+        # offsets; the per-offset GEOMETRIC validity mask is computed on
+        # device from the per-axis deltas (see _extract_dia)
+        strides = [1] * d
+        for ax in range(d - 2, -1, -1):
+            strides[ax] = strides[ax + 1] * cg[ax + 1]
+        axes = [np.arange(-rc, rc + 1) for rc in rc_ax]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        deltas = np.stack([m.reshape(-1) for m in mesh], axis=1)   # (C, d)
+        offs_cand = (deltas * np.asarray(strides)).sum(axis=1)
+        order = np.argsort(offs_cand)
+        offs_cand = offs_cand[order]
+        deltas = deltas[order]
+        # pad to fixed-size extract chunks; padding deltas are sent out of
+        # range so their validity mask is all-false (extracted zeros), and
+        # padding offsets use a large sentinel to keep the array sorted
+        C = len(offs_cand)
+        C_pad = -(-C // _EXTRACT_CHUNK) * _EXTRACT_CHUNK
+        offs_pad = np.full(C_pad, np.iinfo(np.int32).max // 2, dtype=np.int32)
+        offs_pad[:C] = offs_cand
+        deltas_pad = np.full((C_pad, d), max(cg) + 1, dtype=np.int32)
+        deltas_pad[:C] = deltas
+        n_chunks = -(-n_cls // _PROBE_B)
+    host_s = _time.perf_counter() - t0
+
+    w_dev = jnp.asarray(w, dtype=dtype)
     cls_dev = jnp.asarray(cls, dtype=jnp.int32)
-    vals = _extract_dia(Y, cls_dev, jnp.asarray(offs_cand, dtype=jnp.int32),
-                        jnp.asarray(valid, dtype=dtype))
+    coords_dev = jnp.asarray(np.stack(coords), dtype=jnp.int32)  # (d, n_c)
+    cg_dev = jnp.asarray(cg, dtype=jnp.int32)
 
-    # prune all-zero diagonals (loose radius bound ⇒ zero candidates)
-    nz = np.asarray(jnp.any(vals != 0, axis=1))
-    keep = np.flatnonzero(nz)
-    if 0 not in offs_cand[keep]:                      # diagonal must exist
-        keep = np.sort(np.append(keep, np.searchsorted(offs_cand, 0)))
-    offs_kept = offs_cand[keep]
+    t0 = _time.perf_counter()
+    # every probe response in ONE device call (chunks map inside the jit)
+    Y = _rap_probe_all(A_dev, Dinv_dev, w_dev, cls_dev, grid, n_chunks)
+    # fixed-shape extract chunks (all levels share one program per Y shape)
+    parts = [
+        _extract_dia(Y, cls_dev,
+                     jnp.asarray(offs_pad[c0:c0 + _EXTRACT_CHUNK]),
+                     jnp.asarray(deltas_pad[c0:c0 + _EXTRACT_CHUNK]),
+                     coords_dev, cg_dev)
+        for c0 in range(0, len(offs_pad), _EXTRACT_CHUNK)
+    ]
+    vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    # one readback serves the zero-prune mask AND the nnz total
+    counts = np.asarray(_row_nnz(vals))
+    probe_s = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    if plan is not None and plan.kept is not None:
+        keep = plan.kept
+        fresh_keep = np.flatnonzero(counts > 0)
+        if not np.isin(fresh_keep, keep).all():
+            # value changes grew the stencil beyond last factorize's kept
+            # set (possible after cancellation): fall back to a fresh prune
+            plan = None
+    if plan is None or plan.kept is None:
+        keep = np.flatnonzero(counts > 0)
+        if 0 not in offs_pad[keep]:                   # diagonal must exist
+            keep = np.sort(np.append(keep, int(np.searchsorted(offs_pad, 0))))
+    offs_kept = offs_pad[keep]
     vals_kept = jnp.take(vals, jnp.asarray(keep), axis=0)
+    nnz_count = int(counts[keep].sum())
 
     # verification: probed DIA must reproduce the composed operator
     from polysolve_tpu.types import DIAMatrix
 
-    nnz_count = int(jnp.sum(vals_kept != 0))
     Ac = DIAMatrix(vals=vals_kept, offsets=tuple(int(o) for o in offs_kept),
                    shape=(n_c, n_c), nnz=max(nnz_count, 1))
-    z = np.random.default_rng(7).standard_normal(n_c)
-    Z = np.zeros((n_c, B))
-    Z[:, 0] = z
-    y_ref = np.asarray(_rap_apply_block(
-        A_dev, Dinv_dev, w_dev, jnp.asarray(Z, dtype=dtype), grid)[0],
-        dtype=np.float64)
-    y_dia = np.asarray(ops.matvec(Ac, jnp.asarray(z, dtype=dtype)),
-                       dtype=np.float64)
-    denom = max(float(np.linalg.norm(y_ref)), 1e-300)
-    rel = float(np.linalg.norm(y_dia - y_ref)) / denom
+    rel = _verify_probe(
+        A_dev, Dinv_dev, w_dev, grid, dtype, n_c,
+        lambda z: np.asarray(ops.matvec(Ac, jnp.asarray(z, dtype=dtype)),
+                             dtype=np.float64))
+    verify_s = _time.perf_counter() - t0
+    if timings is not None:
+        timings["probe_extract_s"] = timings.get("probe_extract_s", 0.0) + probe_s
+        timings["verify_s"] = timings.get("verify_s", 0.0) + verify_s
+        timings["probe_host_s"] = timings.get("probe_host_s", 0.0) + host_s
     tol = 1e-10 if dtype == jnp.float64 else 1e-4
     if rel > tol:
         if logger:
             logger.warning(
                 "structured RAP probe verification failed (rel %.2e) — "
                 "falling back to host spgemm", rel)
-        return None
-    return _DiaCarrier(offs_kept, vals_kept, nnz_count)
+        return None, None
+    new_plan = _ProbePlan(grid=grid, dense=False, offs_pad=offs_pad,
+                          deltas_pad=deltas_pad, n_chunks=n_chunks,
+                          kept=np.asarray(keep))
+    return _DiaCarrier(offs_kept, vals_kept, nnz_count), new_plan
 
 
 def _p_apply(lev: AMGLevel, zc: jnp.ndarray) -> jnp.ndarray:
@@ -555,17 +630,24 @@ class AMGHierarchy:
     level_sizes: list
     operator_complexity: float
     aggregates: list = None  # per-level aggregation maps (pattern-reuse cache)
+    probe_plans: list = None  # per-level _ProbePlan (device-RAP reuse cache)
+    timings: dict = None      # setup phase attribution (seconds)
 
     @staticmethod
     def setup(A: sp.spmatrix, params: Dict[str, Any] = None, block_size: int = 1,
               nullspace: Optional[np.ndarray] = None,
               logger: Optional[logging.Logger] = None,
-              reuse_aggregates: Optional[list] = None) -> "AMGHierarchy":
+              reuse_aggregates: Optional[list] = None,
+              reuse_probe: Optional[list] = None) -> "AMGHierarchy":
         """Build the hierarchy. ``reuse_aggregates`` (from a previous
-        hierarchy on the same sparsity pattern) skips the aggregation phase —
+        hierarchy on the same sparsity pattern) skips the aggregation phase,
+        and ``reuse_probe`` (its probe-plan companion) pins the device-probed
+        RAP geometry so every probe/extract/cycle executable is reused —
         the Newton-loop refactorization optimization: the reference rebuilds
         AMGCL's hierarchy from scratch every factorize (AMGCL.cpp:148-184);
         we re-coarsen only values (SURVEY.md §7 hard-part #2)."""
+        import time as _time
+
         params = params or {}
         max_levels = int(params.get("max_levels", 6))
         coarse_enough = int(params.get("coarse_enough", 500))
@@ -595,6 +677,8 @@ class AMGHierarchy:
         levels = []
         sizes = [n]
         aggregates = []
+        probe_plans = []
+        timings: Dict[str, float] = {}
         total_nnz = A0.nnz
         Al, Bl = A0, B
         while Al.shape[0] > coarse_enough and len(levels) < max_levels - 1:
@@ -628,27 +712,38 @@ class AMGHierarchy:
                     A_dev = cand if isinstance(cand, _DIA) else None
                     d = Al.diagonal() if A_dev is not None else None
                 carrier = None
+                plan = None
+                prev_plan = (reuse_probe[len(levels)]
+                             if reuse_probe is not None
+                             and len(levels) < len(reuse_probe) else None)
                 if A_dev is not None:
                     d = np.where(d != 0, d, 1.0)
                     Dinv_dev = jnp.asarray(1.0 / d, dtype=dtype)
                     v0 = jnp.asarray(np.random.default_rng(0).standard_normal(
                         A_dev.shape[0]), dtype=dtype)
+                    t0 = _time.perf_counter()
                     rho_da = max(float(_power_iter_dia(
                         A_dev, Dinv_dev, v0,
                         iters=int(params.get("power_iters", 20)))), 1e-12)
+                    timings["power_s"] = timings.get("power_s", 0.0) \
+                        + _time.perf_counter() - t0
                     w_used = omega / rho_da
                     n_c_next = int(np.prod([g // 2 for g in grid]))
                     if n_c_next <= max(coarse_enough, 2048):
                         # final level: dense probing (no DIA-extract scan —
-                        # the wide-offset extract compile is the slowest
-                        # program of the whole setup, see _DenseCarrier)
+                        # the operator is about to be densely inverted
+                        # anyway, see _DenseCarrier)
                         carrier = _probe_dense_rap(
-                            A_dev, Dinv_dev, w_used, grid, dtype, logger)
+                            A_dev, Dinv_dev, w_used, grid, dtype, logger,
+                            timings=timings)
+                        plan = _ProbePlan(grid=grid, dense=True)
                     else:
-                        carrier = _probe_structured_rap(
-                            A_dev, Dinv_dev, w_used, grid, dtype, logger)
+                        carrier, plan = _probe_structured_rap(
+                            A_dev, Dinv_dev, w_used, grid, dtype, logger,
+                            plan=prev_plan, timings=timings)
                 if carrier is not None:
                     aggregates.append((None, carrier.shape[0]))
+                    probe_plans.append(plan)
                     if smoother == "cheb1":
                         lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
                     else:
@@ -687,6 +782,8 @@ class AMGHierarchy:
             if n_agg >= Al.shape[0]:  # no coarsening progress
                 break
             aggregates.append((agg, n_agg))
+            probe_plans.append(None)
+            t_host0 = _time.perf_counter()
             d = Al.diagonal()
             d = np.where(d != 0, d, 1.0)
             # D⁻¹A built once per level by direct CSR row scaling (a diag
@@ -709,6 +806,9 @@ class AMGHierarchy:
             if Ac is None:
                 Ac = sp.csr_matrix(R @ Al @ P)
             Ac.eliminate_zeros()
+            timings["host_spgemm_s"] = timings.get("host_spgemm_s", 0.0) \
+                + _time.perf_counter() - t_host0
+            t_conv0 = _time.perf_counter()
 
             # coarse stencils carry more diagonals; DIA stays worthwhile far
             # below the generic fill threshold because the alternative is an
@@ -762,21 +862,27 @@ class AMGHierarchy:
                 smoother=smoother,
                 grid=grid if structured else None,
             ))
+            timings["convert_s"] = timings.get("convert_s", 0.0) \
+                + _time.perf_counter() - t_conv0
             Al, Bl = Ac, Bc
             sizes.append(Al.shape[0])
             total_nnz += Al.nnz
             grid = tuple(g // 2 for g in grid) if structured else None
 
+        t0 = _time.perf_counter()
         state = AMGState(levels=tuple(levels),
                          coarse_inv=_dense_inv(Al.toarray(), dtype),
                          ncycle=max(ncycle, 1),
                          pre_cycles=max(int(params.get("pre_max_iter", 1)), 1))
+        timings["coarse_inv_s"] = _time.perf_counter() - t0
         if logger:
-            logger.debug("AMG hierarchy: sizes=%s complexity=%.2f",
-                         sizes, total_nnz / max(A0.nnz, 1))
+            logger.debug("AMG hierarchy: sizes=%s complexity=%.2f timings=%s",
+                         sizes, total_nnz / max(A0.nnz, 1),
+                         {k: round(v, 2) for k, v in timings.items()})
         return AMGHierarchy(state=state, level_sizes=sizes,
                             operator_complexity=total_nnz / max(A0.nnz, 1),
-                            aggregates=aggregates)
+                            aggregates=aggregates, probe_plans=probe_plans,
+                            timings=timings)
 
 
 def _maybe_tile(dev, A_host, params, dtype):

@@ -696,11 +696,13 @@ class AMGSolver(KrylovSolver):
         A_work = self._A_work
         pattern = (A_work.shape, A_work.indptr, A_work.indices)
         reuse = None
+        reuse_probe = None
         if (self._hier is not None and self._pattern is not None
                 and self._pattern[0] == pattern[0]
                 and np.array_equal(self._pattern[1], pattern[1])
                 and np.array_equal(self._pattern[2], pattern[2])):
             reuse = self._hier.aggregates
+            reuse_probe = self._hier.probe_plans
         nullspace = self.nullspace
         if nullspace is not None and self._perm is not None:
             nullspace = np.asarray(nullspace).reshape(
@@ -708,6 +710,7 @@ class AMGSolver(KrylovSolver):
         self._hier = amg_mod.AMGHierarchy.setup(
             A_work, amg_params, block_size=bs, nullspace=nullspace,
             logger=self.logger, reuse_aggregates=reuse,
+            reuse_probe=reuse_probe,
         )
         self._pattern = pattern
         # row-shard the whole hierarchy over the mesh when configured: fine

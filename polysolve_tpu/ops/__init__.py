@@ -1,3 +1,9 @@
 """Device compute kernels: SpMV/SpMM dispatch + Pallas TPU fast paths."""
 
-from polysolve_tpu.ops.spmv import matvec, matmat, rmatvec, to_device_matrix  # noqa: F401
+from polysolve_tpu.ops.spmv import (  # noqa: F401
+    matmat,
+    matmat_bt,
+    matvec,
+    rmatvec,
+    to_device_matrix,
+)

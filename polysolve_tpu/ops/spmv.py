@@ -155,10 +155,19 @@ def pallas_dia_matvec(A: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     L = max(0, -min(A.offsets))
     R = max(0, max(A.offsets))
     K = len(A.offsets)
-    tile = _pick_tile(n, K, L + R, jnp.dtype(A.vals.dtype).itemsize)
-    if tile == 0 or L > tile or R > tile:
-        return dia_matvec(A, x)
-    return _pallas_dia_overlap(A.vals, x, A.offsets, tile)
+    itemsize = jnp.dtype(A.vals.dtype).itemsize
+    tile = _pick_tile(n, K, L + R, itemsize)
+    if tile and L <= tile and R <= tile:
+        return _pallas_dia_overlap(A.vals, x, A.offsets, tile)
+    # wide-halo / non-divisible rows (deep AMG coarse levels: K in the
+    # hundreds, |offset| ≫ tile): run the batched kernel at B=1 — it
+    # over-pads the row grid and only requires the window to fit VMEM.
+    # TPU-only: direct callers on CPU still get the jnp fallback
+    if use_pallas_dia():
+        tile = _pick_tile_mm(n, K, L + R, 1, itemsize)
+        if tile:
+            return _pallas_dia_mm(A.vals, x[None, :], A.offsets, tile)[0]
+    return dia_matvec(A, x)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "tile"))
@@ -210,3 +219,122 @@ def use_pallas_dia() -> bool:
     """Pallas fast path is on for real TPU backends (interpret-mode tests
     exercise the kernel on CPU explicitly)."""
     return jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------------------- #
+# Batched DIA SpMM, transposed layout — the AMG RAP-probe hot path            #
+# --------------------------------------------------------------------------- #
+
+
+def matmat_bt(A: DeviceMatrix, Xt: jnp.ndarray) -> jnp.ndarray:
+    """Yt[b] = A @ Xt[b] for a (B, n) batch in TRANSPOSED layout (batch on
+    sublanes, vector on lanes — the TPU orientation: B stays a few sublane
+    groups while n runs along the fast lane axis; a (n, B) layout would pad
+    B to 128 lanes and waste ~16× of the x/y traffic).
+
+    For DIA this is the high-arithmetic-intensity form used by the AMG RAP
+    probe (amg._probe_structured_rap): the (K, n) vals plane streams from
+    HBM ONCE per call, reused across all B columns — vs B separate matvecs
+    streaming it B times (the round-3 probe cost). Non-DIA operators fall
+    back to a lax.map of matvec (correctness path; probe callers are
+    DIA-only)."""
+    if isinstance(A, DIAMatrix):
+        if use_pallas_dia():
+            y = pallas_dia_matmat_bt(A, Xt)
+            if y is not None:
+                return y
+        return dia_matmat_bt_jnp(A, Xt)
+    return jax.lax.map(lambda v: matvec(A, v), Xt)
+
+
+def dia_matmat_bt_jnp(A: DIAMatrix, Xt: jnp.ndarray) -> jnp.ndarray:
+    """jnp fallback: K statically-shifted FMAs on the (B, n) batch."""
+    n = A.shape[0]
+    L = max(0, -min(A.offsets))
+    R = max(0, max(A.offsets))
+    Xp = jnp.pad(Xt, ((0, 0), (L, R)))
+    Y = jnp.zeros(Xt.shape, dtype=jnp.result_type(A.vals.dtype, Xt.dtype))
+    for k, off in enumerate(A.offsets):
+        Y = Y + A.vals[k][None, :] * jax.lax.slice_in_dim(
+            Xp, L + off, L + off + n, axis=1)
+    return Y
+
+
+def _pick_tile_mm(n: int, K: int, halo: int, B: int, itemsize: int = 4) -> int:
+    """Row tile for the batched kernel: vals double-buffer (2·K·T) + out
+    double-buffer (2·B·T) + the (B, win) x window must fit VMEM. Unlike the
+    1-D kernel the tile need NOT divide n (rows are over-padded to the
+    grid); it only has to keep window starts 1024-aligned."""
+    tile = 1 << 15
+    while tile >= 1024:
+        win = _round_up(tile + halo, 1024)
+        if (2 * K * tile + 2 * B * tile + B * win) * itemsize <= _VMEM_BUDGET:
+            return tile
+        tile >>= 1
+    return 0
+
+
+def pallas_dia_matmat_bt(A: DIAMatrix, Xt: jnp.ndarray):
+    """Pallas batched DIA SpMM; returns None when no admissible tile exists
+    (caller falls back to the jnp formulation)."""
+    n = A.shape[0]
+    B = int(Xt.shape[0])
+    L = max(0, -min(A.offsets))
+    R = max(0, max(A.offsets))
+    K = len(A.offsets)
+    tile = _pick_tile_mm(n, K, L + R, B, jnp.dtype(A.vals.dtype).itemsize)
+    if tile == 0:
+        return None
+    return _pallas_dia_mm(A.vals, Xt, A.offsets, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile"))
+def _pallas_dia_mm(vals, Xt, offsets, tile):
+    """Grid over row tiles; each step DMAs one (B, win) x window HBM→VMEM
+    and runs the K shifted multiply-adds broadcast over the B sublanes.
+    vals is diag-major (K, n) — the same layout invariant as the matvec
+    kernel (CLAUDE.md)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n = Xt.shape
+    left = max(0, -min(offsets))
+    right = max(0, max(offsets))
+    K = vals.shape[0]
+    n_pad = _round_up(n, tile)
+    win = _round_up(tile + left + right, 1024)
+    vals_p = jnp.pad(vals, ((0, 0), (0, n_pad - n)))
+    # x over-padded so the last tile's window stays in bounds:
+    # len = n_pad - tile + win exactly covers window start (n_pad/tile-1)·tile
+    Xp = jnp.pad(Xt, ((0, 0),
+                      (left, (n_pad - n) + right
+                       + (win - (tile + left + right)))))
+
+    def kernel(vals_ref, xp_hbm, y_ref, xwin_ref, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            xp_hbm.at[:, pl.ds(i * tile, win)], xwin_ref, sem)
+        cp.start()
+        cp.wait()
+        acc = vals_ref[0:1, :] * \
+            xwin_ref[:, left + offsets[0]: left + offsets[0] + tile]
+        for k in range(1, K):
+            acc = acc + vals_ref[k:k + 1, :] * \
+                xwin_ref[:, left + offsets[k]: left + offsets[k] + tile]
+        y_ref[:, :] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n_pad), Xt.dtype),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((K, tile), lambda i: (0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((B, tile), lambda i: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((B, win), vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(vals_p, Xp)
+    return out[:, :n] if n_pad != n else out

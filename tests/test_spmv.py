@@ -379,3 +379,50 @@ def test_pallas_dia_fallback_no_nameerror(rng):
     # n=40 has no admissible tile -> the fallback path runs
     y = np.asarray(spmv_mod.pallas_dia_matvec(Ad, x))
     assert np.linalg.norm(y - A @ np.asarray(x)) < 1e-10
+
+
+def test_dia_matmat_bt_jnp(rng):
+    """Batched transposed-layout DIA SpMM (the RAP-probe hot path) matches
+    B independent matvecs."""
+    from polysolve_tpu.ops.spmv import dia_matmat_bt_jnp
+
+    A = poisson2d(16)
+    Ad = dia_from_scipy(A, dtype=jnp.float64)
+    Xt = rng.standard_normal((5, 256))
+    Y = np.asarray(dia_matmat_bt_jnp(Ad, jnp.asarray(Xt)))
+    assert np.allclose(Y, (A @ Xt.T).T, atol=1e-12)
+
+
+def test_pallas_dia_matmat_bt_interpret(rng):
+    """The batched Pallas DIA SpMM in interpreter mode — including the
+    row-padding path (n NOT divisible by the tile)."""
+    from polysolve_tpu.ops.spmv import _pallas_dia_mm
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    A = poisson2d(16)  # n=256
+    Ad = dia_from_scipy(A, dtype=jnp.float32)
+    Xt = rng.standard_normal((8, 256)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        Y = _pallas_dia_mm(Ad.vals, jnp.asarray(Xt), Ad.offsets, 64)
+        # tile 96 does not divide 256: exercises the over-pad path
+        Y2 = _pallas_dia_mm(Ad.vals, jnp.asarray(Xt), Ad.offsets, 96)
+    ref = (A @ Xt.T).T.astype(np.float32)
+    assert np.allclose(np.asarray(Y), ref, atol=1e-4)
+    assert np.allclose(np.asarray(Y2), ref, atol=1e-4)
+
+
+def test_pallas_dia_wide_halo_fallback_path(rng):
+    """A DIA operator whose halo exceeds every admissible 1-D tile (deep
+    AMG coarse levels) routes through the B=1 batched kernel — off-TPU the
+    dispatch must still produce the jnp result."""
+    from polysolve_tpu.ops.spmv import matvec as dispatch_mv
+
+    n = 512
+    offs = [-384, -1, 0, 1, 384]  # halo 768 > n/2: no 1-D tile admits it
+    diags = [np.full(n - abs(o), 1.0 + i) for i, o in enumerate(offs)]
+    A = sp.csr_matrix(sp.diags(diags, offs))
+    Ad = dia_from_scipy(A)
+    x = rng.standard_normal(n)
+    assert np.allclose(np.asarray(dispatch_mv(Ad, jnp.asarray(x))), A @ x,
+                       atol=1e-12)
