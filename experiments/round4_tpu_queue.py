@@ -1,0 +1,163 @@
+"""Round-4 TPU work queue — run serially (only ONE process may use the axon
+TPU; see CLAUDE.md).
+
+Sections (each guarded, results appended to round4_tpu_results.jsonl):
+1. mm    — batched DIA SpMM kernel validation: small correctness probe
+           (pallas vs jnp) + wide-halo B=1 route. Cheap; run FIRST so a
+           Mosaic lowering failure surfaces before the big sections.
+2. amg   — bench.py-equivalent AMG e2e at m=192 with the reworked probe
+           path: setup split, refactorize-with-plan-reuse, direct device
+           iteration rate (VERDICT r3 #1 and #3).
+3. amg64 — same at m=64 (fast shake-out of the probe/extract programs
+           before the 7M shapes compile).
+
+Usage: python experiments/round4_tpu_queue.py [sections]
+       sections = comma list of {mm,amg64,amg}; default mm,amg64,amg
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import scipy.sparse as sp  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+
+OUT = "/root/repo/experiments/round4_tpu_results.jsonl"
+
+
+def log(rec):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(rec, flush=True)
+
+
+def poisson3d(m):
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(m, m))
+    I = sp.identity(m, dtype=np.float64)
+    return sp.csr_matrix(
+        sp.kron(sp.kron(I, I), T) + sp.kron(sp.kron(I, T), I)
+        + sp.kron(sp.kron(T, I), I))
+
+
+def sec_mm():
+    """Correctness of the batched DIA SpMM on hardware (sublane-broadcast
+    lowering is the risk), + the wide-halo B=1 matvec route."""
+    from polysolve_tpu.ops import spmv as sm
+    from polysolve_tpu.types import dia_from_scipy
+
+    m = 32                                    # n = 32768
+    A = poisson3d(m)
+    n = A.shape[0]
+    Ad = dia_from_scipy(A, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    Xt = jnp.asarray(rng.standard_normal((32, n)), jnp.float32)
+    t0 = time.perf_counter()
+    Yp = np.asarray(sm.pallas_dia_matmat_bt(Ad, Xt))
+    compile_s = time.perf_counter() - t0
+    Yr = np.asarray(sm.dia_matmat_bt_jnp(Ad, Xt))
+    rel = float(np.linalg.norm(Yp - Yr) / np.linalg.norm(Yr))
+    log({"sec": "mm", "probe": "matmat_bt_b32", "n": n,
+         "compile_s": round(compile_s, 1), "rel_vs_jnp": rel,
+         "ok": rel < 1e-5})
+
+    # wide-halo route: offsets beyond any 1-D tile at a non-2^k row count
+    offs = [-m * m * 3, -1, 0, 1, m * m * 3]
+    diags = [np.full(n - abs(o), 1.0 + i) for i, o in enumerate(offs)]
+    W = sp.csr_matrix(sp.diags(diags, offs))
+    Wd = dia_from_scipy(W, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    t0 = time.perf_counter()
+    yw = np.asarray(sm.matvec(Wd, x))
+    compile_s = time.perf_counter() - t0
+    ywr = W @ np.asarray(x, np.float64)
+    rel = float(np.linalg.norm(yw - ywr) / np.linalg.norm(ywr))
+    log({"sec": "mm", "probe": "wide_halo_b1", "n": n,
+         "compile_s": round(compile_s, 1), "rel": rel, "ok": rel < 1e-4})
+
+
+def sec_amg(m):
+    """bench.py-equivalent AMG e2e (cold setup -> warm solve -> plan-reuse
+    refactorize -> direct device iteration rate)."""
+    from polysolve_tpu.linear import Solver
+    from polysolve_tpu.linear.iterative import _run_krylov
+
+    A = poisson3d(m)
+    n = A.shape[0]
+    b = np.random.default_rng(0).standard_normal(n)
+    s = Solver.create({
+        "solver": "AMG",
+        "AMG": {"tolerance": 1e-8, "max_iter": 200, "coarse_enough": 2000,
+                "max_levels": 6, "relax_degree": 3},
+    }, strict=False)
+    t0 = time.perf_counter()
+    s.analyze_pattern(A)
+    s.factorize(A)
+    setup_s = time.perf_counter() - t0
+    phases = {k: round(v, 2) for k, v in (s._hier.timings or {}).items()}
+    t0 = time.perf_counter()
+    x = s.solve(b)
+    first_solve_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x = s.solve(b)
+    warm_solve_s = time.perf_counter() - t0
+    info = s.get_info()
+    rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
+    t0 = time.perf_counter()
+    s.factorize(A)
+    refac_s = time.perf_counter() - t0
+    phases2 = {k: round(v, 2) for k, v in (s._hier.timings or {}).items()}
+
+    dtype = s.A_dev.dtype
+    b_dev = jnp.asarray(b, dtype=dtype)
+    x0_dev = jnp.zeros_like(b_dev)
+    zero = jnp.asarray(0.0, dtype=dtype)
+
+    def timed(k_iters):
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = _run_krylov("CG", s.A_dev, s.pstate, b_dev, x0_dev,
+                              zero, jnp.int32(k_iters), atol=zero)
+            float(res.error)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    timed(10)
+    t10, t110 = timed(10), timed(110)
+    rate = round(100.0 / (t110 - t10), 1) if t110 > t10 else None
+    log({"sec": f"amg{m}", "n": n, "setup_s": round(setup_s, 1),
+         "setup_phases": phases,
+         "first_solve_s": round(first_solve_s, 1),
+         "warm_solve_s": round(warm_solve_s, 2),
+         "refactorize_s": round(refac_s, 2), "refac_phases": phases2,
+         "iterations": int(info["num_iterations"]),
+         "rel_residual": rel, "converged": bool(info["converged"]),
+         "iters_per_s_device": rate,
+         "ms_per_iter": round((t110 - t10) * 10.0, 2) if rate else None,
+         "level_sizes": s._hier.level_sizes})
+
+
+if __name__ == "__main__":
+    want = (sys.argv[1].split(",") if len(sys.argv) > 1
+            else ["mm", "amg64", "amg"])
+    for w in want:
+        t0 = time.perf_counter()
+        try:
+            if w == "mm":
+                sec_mm()
+            elif w == "amg64":
+                sec_amg(64)
+            elif w == "amg":
+                sec_amg(192)
+        except Exception as e:  # noqa: BLE001
+            log({"sec": w, "fatal": repr(e)[:300]})
+        print(f"[{w}] done in {time.perf_counter() - t0:.1f}s", flush=True)

@@ -234,8 +234,20 @@ def _power_iter_dia(A_dev, Dinv, v0, iters: int = 20):
     return lam
 
 
-_PROBE_B = 32      # probe columns per batched-SpMM chunk
+_PROBE_B = 32      # default probe columns per batched-SpMM chunk
 _EXTRACT_CHUNK = 1024  # offsets per extract program (fixed-shape chunks)
+
+
+def _pick_probe_b(n_f: int, itemsize: int = 4) -> int:
+    """Probe batch width per level: the smallest of {32, 64, 128} whose
+    (B, n_f) probe block exceeds the VMEM promotion size — XLA promotes a
+    sub-VMEM pallas OUTPUT into VMEM on top of the kernel's scratch (the
+    measured m=64 OOM, ops/spmv.py _MM_MIN_BYTES). Levels too small for any
+    width run the jnp SpMM anyway (the ≥64 MB matmat_bt gate)."""
+    for B in (_PROBE_B, 64, 128):
+        if B * n_f * itemsize > (17 << 20):
+            return B
+    return _PROBE_B
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
@@ -253,22 +265,23 @@ def _rap_apply_bt(A_dev, Dinv, w, E, grid):
         q - w * ops.matmat_bt(A_dev, Dinv[None, :] * q))
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "n_chunks"))
-def _rap_probe_all(A_dev, Dinv, w, cls, grid, n_chunks: int):
+@functools.partial(jax.jit, static_argnames=("grid", "n_chunks", "B"))
+def _rap_probe_all(A_dev, Dinv, w, cls, grid, n_chunks: int,
+                   B: int = _PROBE_B):
     """ALL probe responses in one device program: lax.map over column
     chunks of the batched composed apply. Probe indicators are built ON
     DEVICE from the class map (only scalars cross the tunnel), and one
     host→device call replaces one per chunk (~30 ms RTT each on axon).
-    Returns (n_chunks·_PROBE_B, n_c) — rows beyond the true class count
-    are zero columns (no class matches) and are never read by extraction."""
+    Returns (n_chunks·B, n_c) — rows beyond the true class count are zero
+    columns (no class matches) and are never read by extraction."""
 
     def one(q):
-        cols = q * _PROBE_B + jnp.arange(_PROBE_B, dtype=jnp.int32)
+        cols = q * B + jnp.arange(B, dtype=jnp.int32)
         E = (cls[None, :] == cols[:, None]).astype(Dinv.dtype)
         return _rap_apply_bt(A_dev, Dinv, w, E, grid)
 
     Y = jax.lax.map(one, jnp.arange(n_chunks, dtype=jnp.int32))
-    return Y.reshape(n_chunks * _PROBE_B, -1)
+    return Y.reshape(n_chunks * B, -1)
 
 
 @jax.jit
@@ -383,15 +396,17 @@ class _ProbePlan:
     dense: bool = False
     offs_pad: Any = None      # (C_pad,) int32 candidate offsets, padded
     deltas_pad: Any = None    # (C_pad, d) int32 per-axis moves, padded
-    n_chunks: int = 0         # probe chunks of _PROBE_B columns
+    n_chunks: int = 0         # probe chunks of B columns
     kept: Any = None          # indices into offs_pad kept last factorize
+    B: int = _PROBE_B         # probe batch width (level-size dependent)
 
 
-def _verify_probe(A_dev, Dinv_dev, w_dev, grid, dtype, n_c, apply_dia):
+def _verify_probe(A_dev, Dinv_dev, w_dev, grid, dtype, n_c, apply_dia,
+                  B: int = _PROBE_B):
     """rel error of the probed operator vs one composed apply on a random
-    vector (row 0 of a _PROBE_B batch — reuses the probe program family)."""
+    vector (row 0 of a B-wide batch — reuses the probe program family)."""
     z = np.random.default_rng(7).standard_normal(n_c)
-    Z = np.zeros((_PROBE_B, n_c))
+    Z = np.zeros((B, n_c))
     Z[0] = z
     y_ref = np.asarray(_rap_apply_bt(
         A_dev, Dinv_dev, w_dev, jnp.asarray(Z, dtype=dtype), grid)[0],
@@ -411,18 +426,20 @@ def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
 
     cg = tuple(g // 2 for g in grid)
     n_c = int(np.prod(cg))
+    n_f = int(np.prod(grid))
+    B = _pick_probe_b(n_f)
     w_dev = jnp.asarray(w, dtype=dtype)
     iota = jnp.arange(n_c, dtype=jnp.int32)      # identity "class" map
-    n_chunks = -(-n_c // _PROBE_B)
+    n_chunks = -(-n_c // B)
     t0 = _time.perf_counter()
-    Y = _rap_probe_all(A_dev, Dinv_dev, w_dev, iota, grid, n_chunks)
+    Y = _rap_probe_all(A_dev, Dinv_dev, w_dev, iota, grid, n_chunks, B)
     Ac = np.asarray(Y[:n_c], dtype=np.float64).T   # responses are rows
     if timings is not None:
         timings["probe_extract_s"] = timings.get("probe_extract_s", 0.0) \
             + _time.perf_counter() - t0
     t0 = _time.perf_counter()
     rel = _verify_probe(A_dev, Dinv_dev, w_dev, grid, dtype, n_c,
-                        lambda z: Ac @ z)
+                        lambda z: Ac @ z, B=B)
     if timings is not None:
         timings["verify_s"] = timings.get("verify_s", 0.0) \
             + _time.perf_counter() - t0
@@ -469,10 +486,11 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
                            "the probe cap — host fallback", n_cls)
         return None, None
 
+    n_f = int(np.prod(grid))
     t0 = _time.perf_counter()
     if plan is not None and not plan.dense and plan.grid == grid:
         offs_pad, deltas_pad = plan.offs_pad, plan.deltas_pad
-        n_chunks = plan.n_chunks
+        n_chunks, B = plan.n_chunks, plan.B
     else:
         plan = None
         # candidate offsets: the box of rc per axis, as linear coarse
@@ -497,7 +515,8 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
         offs_pad[:C] = offs_cand
         deltas_pad = np.full((C_pad, d), max(cg) + 1, dtype=np.int32)
         deltas_pad[:C] = deltas
-        n_chunks = -(-n_cls // _PROBE_B)
+        B = _pick_probe_b(n_f)
+        n_chunks = -(-n_cls // B)
     host_s = _time.perf_counter() - t0
 
     w_dev = jnp.asarray(w, dtype=dtype)
@@ -507,7 +526,7 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
 
     t0 = _time.perf_counter()
     # every probe response in ONE device call (chunks map inside the jit)
-    Y = _rap_probe_all(A_dev, Dinv_dev, w_dev, cls_dev, grid, n_chunks)
+    Y = _rap_probe_all(A_dev, Dinv_dev, w_dev, cls_dev, grid, n_chunks, B)
     # fixed-shape extract chunks (all levels share one program per Y shape)
     parts = [
         _extract_dia(Y, cls_dev,
@@ -545,7 +564,7 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
     rel = _verify_probe(
         A_dev, Dinv_dev, w_dev, grid, dtype, n_c,
         lambda z: np.asarray(ops.matvec(Ac, jnp.asarray(z, dtype=dtype)),
-                             dtype=np.float64))
+                             dtype=np.float64), B=B)
     verify_s = _time.perf_counter() - t0
     if timings is not None:
         timings["probe_extract_s"] = timings.get("probe_extract_s", 0.0) + probe_s
@@ -560,7 +579,7 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
         return None, None
     new_plan = _ProbePlan(grid=grid, dense=False, offs_pad=offs_pad,
                           deltas_pad=deltas_pad, n_chunks=n_chunks,
-                          kept=np.asarray(keep))
+                          kept=np.asarray(keep), B=B)
     return _DiaCarrier(offs_kept, vals_kept, nnz_count), new_plan
 
 

@@ -325,6 +325,140 @@ def gmres(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
     return KrylovResult(x, k, _safe_div(res, bnorm), res <= thresh)
 
 
+# --------------------------------------------------------------------------- #
+# DGMRES — deflated (augmented) restarts                                       #
+# --------------------------------------------------------------------------- #
+
+
+def dgmres(matvec: MatVec, b: jnp.ndarray, x0: jnp.ndarray, precond: Precond,
+           tol: float, max_iter: int, restart: int = 30,
+           deflation: int = 6) -> KrylovResult:
+    """Restarted GMRES with spectral deflation by subspace AUGMENTATION —
+    the Eigen::DGMRES role (reference Solver.cpp:446-451), realized as
+    Morgan's GMRES-E: each restart carries ``deflation`` approximate
+    small-eigenvalue directions into the search space alongside the fresh
+    Krylov vectors, curing the restart stagnation GMRES(m) hits when small
+    eigenvalues need more than m iterations to resolve.
+
+    Two TPU-shaped departures from Eigen's Erhel-style implementation:
+
+    - The carried directions come from the smallest right singular vectors
+      of the rectangular Hessenberg (jnp SVD lowers on TPU; a nonsymmetric
+      Schur/eig does not), mapped through the cycle's preimage basis.
+    - They AUGMENT the basis instead of entering a λ_n-scaling deflation
+      preconditioner: augmentation is monotone — inexact directions merely
+      enlarge the minimization space, whereas the measured Erhel-style
+      M⁻¹ = I + U(λ_n·T⁻¹ − I)Uᵀ amplifies Ritz error by λ_n/θ and stalled
+      on planted-small-eigenvalue systems (see test_dgmres_deflation_beats
+      _plain_gmres; numpy replication of the textbook scheme stalled the
+      same way, so this is the algorithm choice, not an implementation bug).
+
+    Everything is static-shaped: U is (deflation, n); ``have`` flips 0→kd
+    after the first cycle."""
+    dtype = b.dtype
+    n = b.shape[0]
+    m = restart
+    kd = max(min(int(deflation), m - 2), 1)
+    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    thresh = tol * bnorm
+    tiny = jnp.finfo(dtype).tiny
+
+    def inner(x, U, have):
+        """One augmented restart cycle: basis sources are fresh Krylov
+        vectors for j < m − have, carried deflation vectors after. Returns
+        (x_new, resnorm, iters, Z, Hraw) with Z the preimage rows (the
+        update is x += precond(Zᵀy) — augmented columns' preimages are the
+        U rows, not the orthonormalized V rows)."""
+        r = b - matvec(x)
+        beta = jnp.sqrt(jnp.vdot(r, r))
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        V = V.at[0].set(_safe_div(r, beta))
+        Z = jnp.zeros((m, n), dtype=dtype)
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        Hraw = jnp.zeros((m + 1, m), dtype=dtype)
+        csv = jnp.zeros((m,), dtype=dtype)
+        snv = jnp.zeros((m,), dtype=dtype)
+        g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
+
+        def arnoldi_step(j, carry):
+            V, Z, H, Hraw, csv, snv, g, done, iters = carry
+            aug = j >= (m - have)
+            u_row = U[jnp.clip(j - (m - have), 0, kd - 1)]
+            s = jnp.where(aug, u_row, V[j])
+            w = matvec(precond(s))
+
+            def mgs(i, acc):
+                w, h = acc
+                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                w = w - hij * V[i]
+                return (w, h.at[i].set(hij))
+
+            w, hcol = lax.fori_loop(
+                0, m + 1, mgs, (w, jnp.zeros((m + 1,), dtype=dtype)))
+            hnext = jnp.sqrt(jnp.vdot(w, w))
+            happy = hnext < (jnp.finfo(dtype).eps * 100) * jnp.maximum(beta, 1.0)
+            hcol = hcol.at[j + 1].set(hnext)
+            Vn = V.at[j + 1].set(_safe_div(w, jnp.maximum(hnext, tiny)))
+            hraw_col = hcol
+
+            hcol = _apply_rots(hcol, csv, snv, j)
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            denom = jnp.maximum(denom, tiny)
+            cs_j = hcol[j] / denom
+            sn_j = hcol[j + 1] / denom
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            gj = g[j]
+            g2 = g.at[j].set(cs_j * gj).at[j + 1].set(-sn_j * gj)
+
+            skip = done
+            V = jnp.where(skip, V, Vn)
+            Z = jnp.where(skip, Z, Z.at[j].set(s))
+            H = jnp.where(skip, H, H.at[:, j].set(hcol))
+            H = jnp.where(skip, H.at[j, j].set(1.0), H)
+            Hraw = jnp.where(skip, Hraw, Hraw.at[:, j].set(hraw_col))
+            Hraw = jnp.where(skip, Hraw.at[j, j].set(1.0), Hraw)
+            csv = jnp.where(skip, csv, csv.at[j].set(cs_j))
+            snv = jnp.where(skip, snv, snv.at[j].set(sn_j))
+            g = jnp.where(skip, g, g2)
+            iters = jnp.where(skip, iters, iters + 1)
+            done = done | happy | (jnp.abs(g[j + 1]) <= thresh)
+            return (V, Z, H, Hraw, csv, snv, g, done, iters)
+
+        V, Z, H, Hraw, csv, snv, g, done, iters = lax.fori_loop(
+            0, m, arnoldi_step,
+            (V, Z, H, Hraw, csv, snv, g, jnp.bool_(False), jnp.int32(0)))
+        y = jax.scipy.linalg.solve_triangular(H[:m, :m], g[:m], lower=False)
+        xn = x + precond(Z.T @ y)
+        rn = b - matvec(xn)
+        return xn, jnp.sqrt(jnp.vdot(rn, rn)), iters, Z, Hraw
+
+    def extract(Z, Hraw):
+        """Replacement deflation basis: the kd smallest right singular
+        vectors of the Hessenberg through the preimage rows, orthonormalized
+        (QR on the (n, kd) stack — lowers on TPU)."""
+        _, S, Vh = jnp.linalg.svd(Hraw[: m + 1, :m], full_matrices=False)
+        cands = Vh[m - kd:, :] @ Z              # (kd, n) smallest-σ last
+        Q, _ = jnp.linalg.qr(cands.T)           # (n, kd)
+        return Q.T
+
+    def cond(s):
+        x, res, k, U, have = s
+        return (k < max_iter) & (res > thresh)
+
+    def body(s):
+        x, res, k, U, have = s
+        xn, resn, used, Z, Hraw = inner(x, U, have)
+        Un = extract(Z, Hraw)
+        return (xn, resn, k + used, Un, jnp.int32(kd))
+
+    r0 = b - matvec(x0)
+    res0 = jnp.sqrt(jnp.vdot(r0, r0))
+    U0 = jnp.zeros((kd, n), dtype=dtype)
+    init = (x0, res0, jnp.int32(0), U0, jnp.int32(0))
+    x, res, k, U, have = lax.while_loop(cond, body, init)
+    return KrylovResult(x, k, _safe_div(res, bnorm), res <= thresh)
+
+
 def _apply_rots(hcol, csv, snv, j):
     """Apply rotations 0..j-1 to a fresh Hessenberg column (masked fori)."""
 

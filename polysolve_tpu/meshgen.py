@@ -207,6 +207,15 @@ def stokes_saddle(nx: int = 16, ny: int = 16, seed: int = 0,
 
     Returns (K, precond_num)."""
     pts, cells = delaunay_mesh(nx, ny, seed=seed)
+    return stokes_saddle_from_mesh(pts, cells, eps=eps)
+
+
+def stokes_saddle_from_mesh(pts: np.ndarray, cells: np.ndarray,
+                            eps: float = 1e-8) -> Tuple[sp.csr_matrix, int]:
+    """stokes_saddle on a caller-supplied mesh — lets fixtures pin the exact
+    velocity-block size (the vendored A0/b0 pair uses a 4967-node mesh so
+    precond_num = 9934, matching the reference's A0 exactly,
+    test_linear_solver.cpp:474)."""
     n = pts.shape[0]
     A1 = poisson_stiffness(pts, cells, shift=0.0)
     d = pts.shape[1]

@@ -424,7 +424,18 @@ class Solver:
                     self._initial_x_delta = self.current.x_delta
                 self.current.rel_x_delta = self.current.x_delta / max(
                     self._initial_x_delta, 1e-300)
-                self.current.x_delta_dot_grad = float(direction @ grad)
+                # Guarded against fp64 overflow on extreme steps (an inf
+                # here would feed the non-descent fallback decision and the
+                # newton-decrement sqrt, reference Solver.cpp:405-434): the
+                # dot runs on inf-norm-normalized vectors (each factor ≤ 1,
+                # no numpy overflow warning) and the rescale is clamped to
+                # the finite range with the sign preserved.
+                d_inf = float(np.max(np.abs(direction))) or 1.0
+                g_inf = float(np.max(np.abs(grad))) or 1.0
+                unit_dot = float((direction / d_inf) @ (grad / g_inf))
+                fmax = float(np.finfo(np.float64).max)
+                self.current.x_delta_dot_grad = float(
+                    np.clip(unit_dot * d_inf * g_inf, -fmax, fmax))
                 # non-descent rejection only for strategies that promise
                 # descent (Solver.cpp:405: also requires gradNorm != 0)
                 if strategy.is_direction_descent() and grad_norm != 0 and \

@@ -162,9 +162,12 @@ def pallas_dia_matvec(A: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     # wide-halo / non-divisible rows (deep AMG coarse levels: K in the
     # hundreds, |offset| ≫ tile): run the batched kernel at B=1 — it
     # over-pads the row grid and only requires the window to fit VMEM.
-    # TPU-only: direct callers on CPU still get the jnp fallback
-    if use_pallas_dia():
-        tile = _pick_tile_mm(n, K, L + R, 1, itemsize)
+    # TPU-only: direct callers on CPU still get the jnp fallback. Small
+    # working sets stay jnp (VMEM-promotion hazard, see _MM_MIN_BYTES)
+    if use_pallas_dia() and (K * n + 2 * n) * itemsize >= _MM_MIN_BYTES:
+        out_bytes = n * itemsize
+        reserve = out_bytes if out_bytes <= (17 << 20) else 0
+        tile = _pick_tile_mm(n, K, L + R, 1, itemsize, reserve)
         if tile:
             return _pallas_dia_mm(A.vals, x[None, :], A.offsets, tile)[0]
     return dia_matvec(A, x)
@@ -260,15 +263,30 @@ def dia_matmat_bt_jnp(A: DIAMatrix, Xt: jnp.ndarray) -> jnp.ndarray:
     return Y
 
 
-def _pick_tile_mm(n: int, K: int, halo: int, B: int, itemsize: int = 4) -> int:
+# Working sets below this run the fused-jnp path: XLA promotes small pallas
+# operands/outputs into VMEM on top of the kernel's scoped scratch, which
+# OOMs the 16 MB space (measured: f32[33,32768] probe at the m=64 level-1 —
+# "scoped allocation 44.57M exceeded scoped vmem limit"). Promotion needs
+# every tensor ≤ VMEM, so a comfortably-HBM-sized working set is immune.
+_MM_MIN_BYTES = 64 * 2**20
+# scoped budget for the batched kernel (the ≥64 MB gate above is what
+# guards promotion — every qualifying operand is HBM-bound by size)
+_VMEM_BUDGET_MM = _VMEM_BUDGET
+
+
+def _pick_tile_mm(n: int, K: int, halo: int, B: int, itemsize: int = 4,
+                  reserve: int = 0) -> int:
     """Row tile for the batched kernel: vals double-buffer (2·K·T) + out
     double-buffer (2·B·T) + the (B, win) x window must fit VMEM. Unlike the
     1-D kernel the tile need NOT divide n (rows are over-padded to the
-    grid); it only has to keep window starts 1024-aligned."""
+    grid); it only has to keep window starts 1024-aligned. ``reserve``
+    subtracts bytes XLA may additionally place in VMEM (a promotable
+    output — see _MM_MIN_BYTES)."""
     tile = 1 << 15
     while tile >= 1024:
         win = _round_up(tile + halo, 1024)
-        if (2 * K * tile + 2 * B * tile + B * win) * itemsize <= _VMEM_BUDGET:
+        if (2 * K * tile + 2 * B * tile + B * win) * itemsize \
+                <= _VMEM_BUDGET_MM - reserve:
             return tile
         tile >>= 1
     return 0
@@ -282,7 +300,14 @@ def pallas_dia_matmat_bt(A: DIAMatrix, Xt: jnp.ndarray):
     L = max(0, -min(A.offsets))
     R = max(0, max(A.offsets))
     K = len(A.offsets)
-    tile = _pick_tile_mm(n, K, L + R, B, jnp.dtype(A.vals.dtype).itemsize)
+    itemsize = jnp.dtype(A.vals.dtype).itemsize
+    if (K * n + 2 * B * n) * itemsize < _MM_MIN_BYTES:
+        return None                      # VMEM-promotion hazard: jnp path
+    # inputs are pinned to HBM inside _pallas_dia_mm; the OUTPUT cannot be
+    # pinned — if it fits VMEM solo, budget for XLA promoting it
+    out_bytes = B * n * itemsize
+    reserve = out_bytes if out_bytes <= (17 << 20) else 0
+    tile = _pick_tile_mm(n, K, L + R, B, itemsize, reserve)
     if tile == 0:
         return None
     return _pallas_dia_mm(A.vals, Xt, A.offsets, tile)
@@ -309,6 +334,11 @@ def _pallas_dia_mm(vals, Xt, offsets, tile):
     Xp = jnp.pad(Xt, ((0, 0),
                       (left, (n_pad - n) + right
                        + (win - (tile + left + right)))))
+    # pin both inputs to HBM: XLA promotes small pallas operands into VMEM
+    # on top of the kernel's scoped scratch — measured OOM at the m=64
+    # level-1 probe ("scoped allocation 44.57M exceeded scoped vmem limit")
+    vals_p = pltpu.with_memory_space_constraint(vals_p, pltpu.MemorySpace.HBM)
+    Xp = pltpu.with_memory_space_constraint(Xp, pltpu.MemorySpace.HBM)
 
     def kernel(vals_ref, xp_hbm, y_ref, xwin_ref, sem):
         i = pl.program_id(0)

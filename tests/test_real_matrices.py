@@ -242,3 +242,79 @@ def test_crystm03_class_block3(outer):
     x = s.solve(b)
     assert s.get_info()["num_iterations"] > 0
     assert np.linalg.norm(M @ x - b) / np.linalg.norm(b) < 1e-7
+
+
+# --------------------------------------------------------------------------- #
+# vendored-fixture residual-parity battery (VERDICT r3 next-step #5): the
+# reference's `all` table on the pinned A_2 fixture and the saddle-point
+# solve on the pinned A0/b0 pair (velocity block exactly 9934) — reference
+# tests/test_linear_solver.cpp:103-164, :464-474. The fixtures are
+# deterministic committed bytes (tools/generate_fixtures.py); polyfem-data's
+# originals are unreachable offline, so these pin size/role/structure.
+# --------------------------------------------------------------------------- #
+
+
+def _data(name):
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "data", name)
+
+
+@pytest.fixture(scope="module")
+def A_2():
+    A = meshgen.matrix_market_load(_data("A_2.mtx"))
+    assert A.shape == (324, 324)
+    return A
+
+
+A2_SOLVERS = [
+    # every registered family + the reference alias spellings it replaces
+    ("SparseCholesky", {}), ("Eigen::SimplicialLDLT", {}),
+    ("Eigen::CholmodSupernodalLLT", {}), ("Pardiso", {}),
+    ("Eigen::AccelerateLLT", {}), ("Eigen::SparseLU", {}),
+    ("Eigen::UmfPackLU", {}), ("Eigen::SparseQR", {}),
+    ("Eigen::ConjugateGradient", {"tolerance": 1e-12}),
+    ("Eigen::BiCGSTAB", {"tolerance": 1e-12}),
+    ("Eigen::GMRES", {"tolerance": 1e-12}),
+    ("Eigen::DGMRES", {"tolerance": 1e-12}),
+    ("Eigen::MINRES", {"tolerance": 1e-12}),
+    ("Eigen::LeastSquaresConjugateGradient", {"tolerance": 1e-13}),
+    ("Dense::LLT", {}), ("Dense::LDLT", {}), ("Dense::PartialPivLU", {}),
+    ("Dense::FullPivLU", {}), ("Dense::HouseholderQR", {}),
+    ("Dense::ColPivHouseholderQR", {}), ("Dense::FullPivHouseholderQR", {}),
+    ("Dense::CompleteOrthogonalDecomposition", {}),
+    ("cuSolverDN", {}),
+    ("AMGCL", {"tolerance": 1e-10}), ("Hypre", {"tolerance": 1e-10}),
+    ("AMG", {"tolerance": 1e-10}),
+    ("MAS", {"relative_tolerance": 1e-10, "absolute_tolerance": 1e-10}),
+]
+
+
+@pytest.mark.parametrize("name,params",
+                         A2_SOLVERS, ids=[n for n, _ in A2_SOLVERS])
+def test_reference_fixture_parity_A2(name, params, A_2):
+    """`all` (test_linear_solver.cpp:103-164) on the vendored A_2: every
+    solver reaches ‖Ax−b‖ < 1e-8, name() round-trips, get_info populated."""
+    b = np.random.default_rng(42).standard_normal(A_2.shape[0])
+    s = Solver.create({"solver": name, name: params}, strict=False)
+    s.analyze_pattern(A_2, A_2.shape[0])
+    s.factorize(A_2)
+    x = s.solve(b)
+    assert np.linalg.norm(A_2 @ x - b) < 1e-8, name
+    assert s.name() == name
+    assert isinstance(s.get_info(), dict) and len(s.get_info()) > 0
+
+
+def test_reference_fixture_parity_A0_b0():
+    """saddle_point_test (test_linear_solver.cpp:457-486) on the vendored
+    A0/b0 pair: precond_num 9934, err < 1e-8."""
+    A0 = meshgen.matrix_market_load(_data("A0.mtx.gz"))
+    b0 = np.asarray(
+        meshgen.matrix_market_load(_data("b0.mtx")).todense()).ravel()
+    assert A0.shape[0] == b0.shape[0] == 9934 + 4967
+    s = Solver.create({"solver": "SaddlePointSolver"}, strict=False)
+    s.analyze_pattern(A0, 9934)
+    s.factorize(A0)
+    x = s.solve(b0)
+    err = np.linalg.norm(A0 @ x - b0)
+    assert err < 1e-8, err
