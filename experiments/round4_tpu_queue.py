@@ -146,6 +146,44 @@ def sec_amg(m):
          "level_sizes": s._hier.level_sizes})
 
 
+def sec_snl(tile):
+    """Supernodal Cholesky at n=110,592: analyze (vectorized host symbolic),
+    repeat-factorize wall, flat solve wall — tile 32 vs 64 sweep
+    (VERDICT r3 #4: target >=60 GFLOP/s, refactorize <=2 s, solve <=0.1 s)."""
+    from polysolve_tpu.linear.supernodal import SupernodalCholesky
+
+    m = 48
+    A = sp.csr_matrix(poisson3d(m) + 0.1 * sp.identity(m ** 3))
+    n = A.shape[0]
+    s = SupernodalCholesky(tile=tile)
+    t0 = time.perf_counter()
+    sym = s.analyze(A)
+    t_an = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s.factorize(A)
+    t_first = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s.factorize(A)
+        best = min(best, time.perf_counter() - t0)
+    b = np.random.default_rng(0).standard_normal(n)
+    s.solve(b)                                  # compile
+    t_sol = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = s.solve(b)
+        t_sol = min(t_sol, time.perf_counter() - t0)
+    rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
+    log({"sec": "snl", "tile": tile, "n": n, "nb": sym.nb,
+         "steps": int(sym.f_diag.shape[0]), "n_levels": sym.n_levels,
+         "flops_G": round(sym.flops / 1e9, 1),
+         "analyze_s": round(t_an, 1), "first_factor_s": round(t_first, 1),
+         "refactorize_s": round(best, 2),
+         "GFLOPs": round(sym.flops / 1e9 / best, 1),
+         "solve_s": round(t_sol, 3), "rel_residual_fp32": rel})
+
+
 if __name__ == "__main__":
     want = (sys.argv[1].split(",") if len(sys.argv) > 1
             else ["mm", "amg64", "amg"])
@@ -158,6 +196,10 @@ if __name__ == "__main__":
                 sec_amg(64)
             elif w == "amg":
                 sec_amg(192)
+            elif w == "snl32":
+                sec_snl(32)
+            elif w == "snl64":
+                sec_snl(64)
         except Exception as e:  # noqa: BLE001
             log({"sec": w, "fatal": repr(e)[:300]})
         print(f"[{w}] done in {time.perf_counter() - t0:.1f}s", flush=True)

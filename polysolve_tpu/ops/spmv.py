@@ -269,15 +269,20 @@ def dia_matmat_bt_jnp(A: DIAMatrix, Xt: jnp.ndarray) -> jnp.ndarray:
 # "scoped allocation 44.57M exceeded scoped vmem limit"). Promotion needs
 # every tensor ≤ VMEM, so a comfortably-HBM-sized working set is immune.
 _MM_MIN_BYTES = 64 * 2**20
-# scoped budget for the batched kernel (the ≥64 MB gate above is what
-# guards promotion — every qualifying operand is HBM-bound by size)
-_VMEM_BUDGET_MM = _VMEM_BUDGET
+# scoped budget for the batched kernel: the cost model below matched the
+# compiler's reported scoped allocation to 0.6% (17.2 MB predicted vs
+# 17.09 MB measured at K=33/B=32/T=8192), so 15 MB leaves ~1 MB of margin
+# under the 16 MB space
+_VMEM_BUDGET_MM = 15 * 2**20
 
 
 def _pick_tile_mm(n: int, K: int, halo: int, B: int, itemsize: int = 4,
                   reserve: int = 0) -> int:
-    """Row tile for the batched kernel: vals double-buffer (2·K·T) + out
-    double-buffer (2·B·T) + the (B, win) x window must fit VMEM. Unlike the
+    """Row tile for the batched kernel. Scoped-VMEM cost model (calibrated
+    against the compiler's 'scoped allocation' reports): vals double-buffer
+    2·K·T + out double-buffer 2·B·T + the (B, win) x window + the acc
+    scratch and ~min(K, 8) live window slices (the scheduler keeps several
+    (B, T) slices in flight even with the scratch accumulator). Unlike the
     1-D kernel the tile need NOT divide n (rows are over-padded to the
     grid); it only has to keep window starts 1024-aligned. ``reserve``
     subtracts bytes XLA may additionally place in VMEM (a promotable
@@ -285,7 +290,8 @@ def _pick_tile_mm(n: int, K: int, halo: int, B: int, itemsize: int = 4,
     tile = 1 << 15
     while tile >= 1024:
         win = _round_up(tile + halo, 1024)
-        if (2 * K * tile + 2 * B * tile + B * win) * itemsize \
+        live = 1 + min(K, 8)
+        if (2 * K * tile + (2 + live) * B * tile + B * win) * itemsize \
                 <= _VMEM_BUDGET_MM - reserve:
             return tile
         tile >>= 1
@@ -340,18 +346,22 @@ def _pallas_dia_mm(vals, Xt, offsets, tile):
     vals_p = pltpu.with_memory_space_constraint(vals_p, pltpu.MemorySpace.HBM)
     Xp = pltpu.with_memory_space_constraint(Xp, pltpu.MemorySpace.HBM)
 
-    def kernel(vals_ref, xp_hbm, y_ref, xwin_ref, sem):
+    def kernel(vals_ref, xp_hbm, y_ref, xwin_ref, acc_ref, sem):
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(
             xp_hbm.at[:, pl.ds(i * tile, win)], xwin_ref, sem)
         cp.start()
         cp.wait()
-        acc = vals_ref[0:1, :] * \
+        # accumulate THROUGH the scratch ref: a pure value chain lets the
+        # scheduler keep many (B, tile) window slices live at once — the
+        # measured scoped-VMEM blowup at K=33 (28.5 MB vs the ~8 MB block
+        # budget); the read-modify-write dependency bounds slice liveness
+        acc_ref[:, :] = vals_ref[0:1, :] * \
             xwin_ref[:, left + offsets[0]: left + offsets[0] + tile]
         for k in range(1, K):
-            acc = acc + vals_ref[k:k + 1, :] * \
+            acc_ref[:, :] += vals_ref[k:k + 1, :] * \
                 xwin_ref[:, left + offsets[k]: left + offsets[k] + tile]
-        y_ref[:, :] = acc
+        y_ref[:, :] = acc_ref[:, :]
 
     out = pl.pallas_call(
         kernel,
@@ -364,7 +374,15 @@ def _pallas_dia_mm(vals, Xt, offsets, tile):
         out_specs=pl.BlockSpec((B, tile), lambda i: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((B, win), vals.dtype),
+            pltpu.VMEM((B, tile), vals.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # the compiler's scoped-vmem accounting exceeds the block/scratch
+        # budget by an opaque scheduling-dependent margin (measured 17.09 MB
+        # against an 11.5 MB block sum, crashing the default 16 MB limit);
+        # v5e has ~128 MB of physical VMEM — raise the cap and keep the
+        # _pick_tile_mm budget as the real working-set control
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(_VMEM_BUDGET_MM + 32 * 2**20)),
     )(vals_p, Xp)
     return out[:, :n] if n_pad != n else out

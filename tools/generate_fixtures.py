@@ -74,11 +74,13 @@ def gen_a0_b0():
     pts, _ = meshgen.delaunay_mesh(71, 70, seed=20)
     pts = pts[:4967]                      # 71*70=4970 → trim to 4967 nodes
     cells = Delaunay(pts).simplices
-    K, p = meshgen.stokes_saddle_from_mesh(pts, cells, eps=1e-8)
+    K, p = meshgen.stokes_saddle_from_mesh(pts, cells, eps=1e-8, shift=2.0)
     assert p == 9934, p
     K = sp.csr_matrix(K)
     K.sort_indices()
     b = np.random.default_rng(9934).standard_normal(K.shape[0])
+    b /= np.linalg.norm(b)   # unit rhs: the reference asserts ABSOLUTE
+    # err < 1e-8 on its A0/b0 (test_linear_solver.cpp:485)
     _write(os.path.join(DATA, "A0.mtx.gz"),
            gzip.compress(_mm_bytes(sp.coo_matrix(K)), mtime=0))
     _write(os.path.join(DATA, "b0.mtx"), _mm_bytes(b[:, None]))
