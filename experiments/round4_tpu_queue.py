@@ -122,18 +122,20 @@ def sec_amg(m):
     zero = jnp.asarray(0.0, dtype=dtype)
 
     def timed(k_iters):
-        best = 1e9
+        best, done = 1e9, 0
         for _ in range(2):
             t0 = time.perf_counter()
             res = _run_krylov("CG", s.A_dev, s.pstate, b_dev, x0_dev,
                               zero, jnp.int32(k_iters), atol=zero)
             float(res.error)
             best = min(best, time.perf_counter() - t0)
-        return best
+            done = int(res.iterations)
+        return best, done
 
     timed(10)
-    t10, t110 = timed(10), timed(110)
-    rate = round(100.0 / (t110 - t10), 1) if t110 > t10 else None
+    (t10, k10), (t110, k110) = timed(10), timed(110)
+    rate = (round((k110 - k10) / (t110 - t10), 1)
+            if t110 > t10 and k110 > k10 else None)
     log({"sec": f"amg{m}", "n": n, "setup_s": round(setup_s, 1),
          "setup_phases": phases,
          "first_solve_s": round(first_solve_s, 1),
@@ -141,9 +143,120 @@ def sec_amg(m):
          "refactorize_s": round(refac_s, 2), "refac_phases": phases2,
          "iterations": int(info["num_iterations"]),
          "rel_residual": rel, "converged": bool(info["converged"]),
-         "iters_per_s_device": rate,
-         "ms_per_iter": round((t110 - t10) * 10.0, 2) if rate else None,
+         "iters_per_s_device": rate, "rate_probe_iters": [k10, k110],
+         "ms_per_iter": (round((t110 - t10) / (k110 - k10) * 1e3, 2)
+                         if rate else None),
          "level_sizes": s._hier.level_sizes})
+
+
+def sec_tdiag():
+    """tile-ELL stage isolation on the 1M-row elasticity fixture: which
+    stage costs the full-vs-stream gap (full 14.1 vs nogather 21.6 Gnnz/s
+    in round 3)? diag=nomxu keeps the gather/transpose pipeline and drops
+    the one-hot MXU reduce; diag=nogather the reverse."""
+    import jax.numpy as _jnp
+
+    sys.path.insert(0, "/root/repo/experiments")
+    from tile_ell_tpu import build_matrix
+
+    from polysolve_tpu.ops import tile_ell
+
+    A = build_matrix(70)
+    n, nnz = A.shape[0], A.nnz
+    M = tile_ell.pack(A, dtype=_jnp.float32)
+    x2d = tile_ell._pad_x2d(
+        M, _jnp.asarray(np.random.default_rng(0).standard_normal(n),
+                        _jnp.float32))
+    nrows2d = -(-n // 128)
+    K = 100
+
+    for diag in ("full", "nomxu", "nogather", "stream"):
+        @jax.jit
+        def chain(vals, r8, q8t, oh8, wb, super_of, x2d, diag=diag):
+            def body(i, x2d):
+                y = tile_ell._tile_ell_pallas(
+                    vals, r8, q8t, oh8, wb, super_of, x2d,
+                    M.n_super, M.cr, M.st, M.bs, diag=diag)
+                return jax.lax.dynamic_update_slice(
+                    x2d, (y / _jnp.float32(64.0))[: nrows2d * 128].reshape(
+                        -1, 128), (0, 0))
+
+            x2d = jax.lax.fori_loop(0, K, body, x2d)
+            return _jnp.vdot(x2d[0], x2d[0])
+
+        args = (M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d)
+        t0 = time.perf_counter()
+        float(chain(*args))
+        compile_s = time.perf_counter() - t0
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(chain(*args))
+            best = min(best, time.perf_counter() - t0)
+        log({"sec": "tdiag", "diag": diag, "n": n, "nnz": nnz,
+             "padding": round(M.padding_ratio, 2),
+             "compile_s": round(compile_s, 1),
+             "Gnnz_per_s": round(nnz * K / best / 1e9, 2),
+             "ns_per_chunk": round(best / K / M.vals.shape[0] * 1e9, 1)})
+
+
+def sec_tr():
+    """transpose_mode vpu vs mxu on the 1M-row fixture: the gather/transpose
+    pipeline is the measured bottleneck (tdiag); routing the two (128,128)
+    transposes through the MXU may hide them behind the pipeline."""
+    import jax.numpy as _jnp
+
+    sys.path.insert(0, "/root/repo/experiments")
+    from tile_ell_tpu import build_matrix
+
+    from polysolve_tpu.ops import tile_ell
+
+    A = build_matrix(70)
+    n, nnz = A.shape[0], A.nnz
+    M = tile_ell.pack(A, dtype=_jnp.float32)
+    x = _jnp.asarray(np.random.default_rng(0).standard_normal(n),
+                     _jnp.float32)
+    x2d = tile_ell._pad_x2d(M, x)
+    nrows2d = -(-n // 128)
+    K = 100
+    y_ref = None
+
+    for tm in ("mxu", "vpu"):
+        # correctness first (single apply)
+        y = np.asarray(tile_ell._tile_ell_pallas(
+            M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d,
+            M.n_super, M.cr, M.st, M.bs, transpose_mode=tm))[:n]
+        if y_ref is None:
+            y_ref = A @ np.asarray(x, np.float64)
+        rel = float(np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref))
+
+        @jax.jit
+        def chain(vals, r8, q8t, oh8, wb, super_of, x2d, tm=tm):
+            def body(i, x2d):
+                y = tile_ell._tile_ell_pallas(
+                    vals, r8, q8t, oh8, wb, super_of, x2d,
+                    M.n_super, M.cr, M.st, M.bs, transpose_mode=tm)
+                return jax.lax.dynamic_update_slice(
+                    x2d, (y / _jnp.float32(64.0))[: nrows2d * 128].reshape(
+                        -1, 128), (0, 0))
+
+            x2d = jax.lax.fori_loop(0, K, body, x2d)
+            return _jnp.vdot(x2d[0], x2d[0])
+
+        args = (M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d)
+        t0 = time.perf_counter()
+        float(chain(*args))
+        compile_s = time.perf_counter() - t0
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(chain(*args))
+            best = min(best, time.perf_counter() - t0)
+        log({"sec": "tr", "transpose_mode": tm, "n": n, "nnz": nnz,
+             "padding": round(M.padding_ratio, 2), "rel_vs_host": rel,
+             "compile_s": round(compile_s, 1),
+             "Gnnz_per_s": round(nnz * K / best / 1e9, 2),
+             "ns_per_chunk": round(best / K / M.vals.shape[0] * 1e9, 1)})
 
 
 def sec_snl(tile):
@@ -196,6 +309,10 @@ if __name__ == "__main__":
                 sec_amg(64)
             elif w == "amg":
                 sec_amg(192)
+            elif w == "tr":
+                sec_tr()
+            elif w == "tdiag":
+                sec_tdiag()
             elif w == "snl32":
                 sec_snl(32)
             elif w == "snl64":

@@ -266,14 +266,17 @@ def _rap_apply_bt(A_dev, Dinv, w, E, grid):
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "n_chunks", "B"))
-def _rap_probe_all(A_dev, Dinv, w, cls, grid, n_chunks: int,
+def _rap_probe_all(A_dev, Dinv, w, cls, zv, grid, n_chunks: int,
                    B: int = _PROBE_B):
     """ALL probe responses in one device program: lax.map over column
     chunks of the batched composed apply. Probe indicators are built ON
     DEVICE from the class map (only scalars cross the tunnel), and one
     host→device call replaces one per chunk (~30 ms RTT each on axon).
-    Returns (n_chunks·B, n_c) — rows beyond the true class count are zero
-    columns (no class matches) and are never read by extraction."""
+    Returns (Y, yz): Y (n_chunks·B, n_c) — rows beyond the true class
+    count are zero columns (never read by extraction) — and yz the
+    composed response to the verification vector ``zv``, computed INSIDE
+    the same program (a separate per-level verify jit cost 428 s of the
+    round-4 cold setup in remote compiles and 12.3 s per refactorize)."""
 
     def one(q):
         cols = q * B + jnp.arange(B, dtype=jnp.int32)
@@ -281,7 +284,9 @@ def _rap_probe_all(A_dev, Dinv, w, cls, grid, n_chunks: int,
         return _rap_apply_bt(A_dev, Dinv, w, E, grid)
 
     Y = jax.lax.map(one, jnp.arange(n_chunks, dtype=jnp.int32))
-    return Y.reshape(n_chunks * B, -1)
+    zb = jnp.zeros((B, cls.shape[0]), dtype=Dinv.dtype).at[0].set(zv)
+    yz = _rap_apply_bt(A_dev, Dinv, w, zb, grid)[0]
+    return Y.reshape(n_chunks * B, -1), yz
 
 
 @jax.jit
@@ -401,16 +406,21 @@ class _ProbePlan:
     B: int = _PROBE_B         # probe batch width (level-size dependent)
 
 
-def _verify_probe(A_dev, Dinv_dev, w_dev, grid, dtype, n_c, apply_dia,
-                  B: int = _PROBE_B):
-    """rel error of the probed operator vs one composed apply on a random
-    vector (row 0 of a B-wide batch — reuses the probe program family)."""
-    z = np.random.default_rng(7).standard_normal(n_c)
-    Z = np.zeros((B, n_c))
-    Z[0] = z
-    y_ref = np.asarray(_rap_apply_bt(
-        A_dev, Dinv_dev, w_dev, jnp.asarray(Z, dtype=dtype), grid)[0],
-        dtype=np.float64)
+def _tacc(timings, tag, key, dt):
+    """Accumulate a phase duration under both the aggregate and the
+    per-level (tagged) key — refactorize attribution needs to know WHICH
+    level's probing costs (VERDICT r3 #1: the 640 s wasn't attributed)."""
+    if timings is None:
+        return
+    timings[key] = timings.get(key, 0.0) + dt
+    if tag:
+        timings[tag + key] = timings.get(tag + key, 0.0) + dt
+
+
+def _verify_rel(yz, apply_dia, z) -> float:
+    """rel error of the probed operator's action vs the composed response
+    ``yz`` (computed inside the probe program — see _rap_probe_all)."""
+    y_ref = np.asarray(yz, dtype=np.float64)
     y_probe = apply_dia(z)
     denom = max(float(np.linalg.norm(y_ref)), 1e-300)
     return float(np.linalg.norm(y_probe - y_ref)) / denom
@@ -418,7 +428,7 @@ def _verify_probe(A_dev, Dinv_dev, w_dev, grid, dtype, n_c, apply_dia,
 
 def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
                      logger: Optional[logging.Logger] = None,
-                     timings: Optional[dict] = None):
+                     timings: Optional[dict] = None, tag: str = ""):
     """Dense probing for the final (coarsest-to-be) level: Ac columns are
     the composed responses to the identity basis — one _rap_probe_all
     program with the identity class map (every class is its own column)."""
@@ -431,18 +441,15 @@ def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
     w_dev = jnp.asarray(w, dtype=dtype)
     iota = jnp.arange(n_c, dtype=jnp.int32)      # identity "class" map
     n_chunks = -(-n_c // B)
+    z = np.random.default_rng(7).standard_normal(n_c)
     t0 = _time.perf_counter()
-    Y = _rap_probe_all(A_dev, Dinv_dev, w_dev, iota, grid, n_chunks, B)
+    Y, yz = _rap_probe_all(A_dev, Dinv_dev, w_dev, iota,
+                           jnp.asarray(z, dtype=dtype), grid, n_chunks, B)
     Ac = np.asarray(Y[:n_c], dtype=np.float64).T   # responses are rows
-    if timings is not None:
-        timings["probe_extract_s"] = timings.get("probe_extract_s", 0.0) \
-            + _time.perf_counter() - t0
+    _tacc(timings, tag, "probe_extract_s", _time.perf_counter() - t0)
     t0 = _time.perf_counter()
-    rel = _verify_probe(A_dev, Dinv_dev, w_dev, grid, dtype, n_c,
-                        lambda z: Ac @ z, B=B)
-    if timings is not None:
-        timings["verify_s"] = timings.get("verify_s", 0.0) \
-            + _time.perf_counter() - t0
+    rel = _verify_rel(yz, lambda zz: Ac @ zz, z)
+    _tacc(timings, tag, "verify_s", _time.perf_counter() - t0)
     tol = 1e-10 if dtype == jnp.float64 else 1e-4
     if rel > tol:
         if logger:
@@ -455,7 +462,7 @@ def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
 def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
                           logger: Optional[logging.Logger] = None,
                           plan: Optional[_ProbePlan] = None,
-                          timings: Optional[dict] = None):
+                          timings: Optional[dict] = None, tag: str = ""):
     """Compute Ac = PᵀAP for a structured level on device. Returns
     (_DiaCarrier, _ProbePlan), or (None, None) when verification fails
     (caller falls back to the host spgemm path). ``plan`` (from a previous
@@ -524,9 +531,11 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
     coords_dev = jnp.asarray(np.stack(coords), dtype=jnp.int32)  # (d, n_c)
     cg_dev = jnp.asarray(cg, dtype=jnp.int32)
 
+    z = np.random.default_rng(7).standard_normal(n_c)
     t0 = _time.perf_counter()
     # every probe response in ONE device call (chunks map inside the jit)
-    Y = _rap_probe_all(A_dev, Dinv_dev, w_dev, cls_dev, grid, n_chunks, B)
+    Y, yz = _rap_probe_all(A_dev, Dinv_dev, w_dev, cls_dev,
+                           jnp.asarray(z, dtype=dtype), grid, n_chunks, B)
     # fixed-shape extract chunks (all levels share one program per Y shape)
     parts = [
         _extract_dia(Y, cls_dev,
@@ -561,15 +570,14 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
 
     Ac = DIAMatrix(vals=vals_kept, offsets=tuple(int(o) for o in offs_kept),
                    shape=(n_c, n_c), nnz=max(nnz_count, 1))
-    rel = _verify_probe(
-        A_dev, Dinv_dev, w_dev, grid, dtype, n_c,
-        lambda z: np.asarray(ops.matvec(Ac, jnp.asarray(z, dtype=dtype)),
-                             dtype=np.float64), B=B)
+    rel = _verify_rel(
+        yz,
+        lambda zz: np.asarray(ops.matvec(Ac, jnp.asarray(zz, dtype=dtype)),
+                              dtype=np.float64), z)
     verify_s = _time.perf_counter() - t0
-    if timings is not None:
-        timings["probe_extract_s"] = timings.get("probe_extract_s", 0.0) + probe_s
-        timings["verify_s"] = timings.get("verify_s", 0.0) + verify_s
-        timings["probe_host_s"] = timings.get("probe_host_s", 0.0) + host_s
+    _tacc(timings, tag, "probe_extract_s", probe_s)
+    _tacc(timings, tag, "verify_s", verify_s)
+    _tacc(timings, tag, "probe_host_s", host_s)
     tol = 1e-10 if dtype == jnp.float64 else 1e-4
     if rel > tol:
         if logger:
@@ -740,12 +748,12 @@ class AMGHierarchy:
                     Dinv_dev = jnp.asarray(1.0 / d, dtype=dtype)
                     v0 = jnp.asarray(np.random.default_rng(0).standard_normal(
                         A_dev.shape[0]), dtype=dtype)
+                    tag = f"L{len(levels)}_"
                     t0 = _time.perf_counter()
                     rho_da = max(float(_power_iter_dia(
                         A_dev, Dinv_dev, v0,
                         iters=int(params.get("power_iters", 20)))), 1e-12)
-                    timings["power_s"] = timings.get("power_s", 0.0) \
-                        + _time.perf_counter() - t0
+                    _tacc(timings, tag, "power_s", _time.perf_counter() - t0)
                     w_used = omega / rho_da
                     n_c_next = int(np.prod([g // 2 for g in grid]))
                     if n_c_next <= max(coarse_enough, 2048):
@@ -754,12 +762,12 @@ class AMGHierarchy:
                         # anyway, see _DenseCarrier)
                         carrier = _probe_dense_rap(
                             A_dev, Dinv_dev, w_used, grid, dtype, logger,
-                            timings=timings)
+                            timings=timings, tag=tag)
                         plan = _ProbePlan(grid=grid, dense=True)
                     else:
                         carrier, plan = _probe_structured_rap(
                             A_dev, Dinv_dev, w_used, grid, dtype, logger,
-                            plan=prev_plan, timings=timings)
+                            plan=prev_plan, timings=timings, tag=tag)
                 if carrier is not None:
                     aggregates.append((None, carrier.shape[0]))
                     probe_plans.append(plan)
@@ -829,25 +837,33 @@ class AMGHierarchy:
                 + _time.perf_counter() - t_host0
             t_conv0 = _time.perf_counter()
 
-            # coarse stencils carry more diagonals; DIA stays worthwhile far
-            # below the generic fill threshold because the alternative is an
-            # XLA gather (0.13 Gnnz/s measured). The per-level diag cap is a
-            # byte budget (DIA stores/streams K·n·4 B per matvec regardless
-            # of fill), so deep structured levels with K~700 stay DIA —
-            # at m=192 the 24³ level (n=13824) previously overflowed the
-            # fixed 512 cap and fell to the ELL gather path, which alone
-            # dominated the whole V-cycle.
+            # coarse stencils carry more diagonals; ON TPU, DIA stays
+            # worthwhile far below the generic fill threshold because the
+            # alternative is an XLA gather (0.13 Gnnz/s measured). The
+            # per-level diag cap is a byte budget (DIA stores/streams
+            # K·n·4 B per matvec regardless of fill), so deep structured
+            # levels with K~700 stay DIA. On CPU the loose thresholds are
+            # pathological — a K=1241 DIA at n=1754 unrolls 1241 shifted
+            # FMAs per matvec (measured 280 ms/CG-iteration on the A0
+            # fixture's blocks) — so keep the generic 64/0.55 rule there.
+            on_tpu_lvl = jax.default_backend() == "tpu"
             dia_cap = (min(2048, max(64, (256 << 20) // (4 * Al.shape[0])))
-                       if len(levels) > 0 else 64)
+                       if len(levels) > 0 and on_tpu_lvl else 64)
             A_dev = ops.to_device_matrix(
                 Al, dtype=dtype,
                 dia_max_diags=dia_cap,
-                dia_fill_threshold=0.02 if len(levels) > 0 else 0.55,
+                dia_fill_threshold=(0.02 if len(levels) > 0 and on_tpu_lvl
+                                    else 0.55),
             )
+            from polysolve_tpu.types import DIAMatrix as _DIAm
             from polysolve_tpu.types import ELLMatrix as _ELL
             from polysolve_tpu.types import dense_from_scipy
 
-            if isinstance(A_dev, _ELL) and \
+            # near-dense DIA levels (K ≳ n/3) are better as ONE dense MXU
+            # matvec: comparable bytes, none of the K-term unroll
+            wide_dia = (isinstance(A_dev, _DIAm)
+                        and 3 * len(A_dev.offsets) >= Al.shape[0])
+            if (isinstance(A_dev, _ELL) or wide_dia) and \
                     params.get("tile_ell") not in (True, "on") and \
                     Al.shape[0] <= int(params.get("dense_level", 4096)):
                 # a level that would run the ELL/XLA-gather path goes DENSE

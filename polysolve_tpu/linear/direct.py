@@ -183,7 +183,13 @@ class SparseCholeskySolver(Solver):
         elif self.mode == "supernodal":
             from polysolve_tpu.linear.supernodal import SupernodalCholesky
 
-            self.snl = SupernodalCholesky(tile=int(self.params.get("tile", 32)))
+            # tile 64 at scale: 4x MXU tile utilization and ~4x fewer
+            # level-schedule steps — measured 251.7 vs 40.5 GFLOP/s against
+            # tile 32 at n=110k (round4_tpu_results.jsonl); small problems
+            # keep 32 (fill padding dominates)
+            tile_default = 64 if A.shape[0] >= (1 << 15) else 32
+            self.snl = SupernodalCholesky(
+                tile=int(self.params.get("tile", tile_default)))
             self.snl.analyze(A)
 
     def factorize(self, A) -> None:

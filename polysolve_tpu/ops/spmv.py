@@ -290,7 +290,13 @@ def _pick_tile_mm(n: int, K: int, halo: int, B: int, itemsize: int = 4,
     tile = 1 << 15
     while tile >= 1024:
         win = _round_up(tile + halo, 1024)
-        live = 1 + min(K, 8)
+        # live = K: Mosaic keeps essentially EVERY (B, tile) window slice
+        # of the unrolled K loop alive (measured 72.7 MB scoped at
+        # K=179/B=64/T=2048 — ~129 live slices — even with the scratch
+        # accumulator forcing read-modify-write order). Wide-K operators
+        # therefore fall back to the fused-jnp path; the pallas win is for
+        # the small-stencil fine levels where vals streaming dominates.
+        live = 1 + K
         if (2 * K * tile + (2 + live) * B * tile + B * win) * itemsize \
                 <= _VMEM_BUDGET_MM - reserve:
             return tile

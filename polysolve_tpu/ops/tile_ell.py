@@ -339,21 +339,32 @@ def tile_ell_matvec_pallas(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("n_super", "CR", "ST", "BS",
-                                    "stream_only", "window_mode"))
+                                    "stream_only", "window_mode", "diag",
+                                    "transpose_mode"))
 def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
                      BS: int = 1, stream_only: bool = False,
-                     window_mode: str = "inline"):
+                     window_mode: str = "inline", diag: str = "full",
+                     transpose_mode: str = "vpu"):
     """window_mode: "inline" waits for each superchunk's x-window DMA on
     the critical path; "dbuf" double-buffers it (start window c+1 before
     computing superchunk c). MEASURED EQUAL on the TPU (11.47 vs 11.55
     Gnnz/s at st=32/bs=2, round3_tpu_results.jsonl) — the window fetch is
-    already amortized across the superchunk, so inline stays the default."""
+    already amortized across the superchunk, so inline stays the default.
+
+    ``diag`` perf-diagnostic variants (results are WRONG except "full"):
+    "stream" = stream slot data only; "nogather" = skip the two lane
+    gathers, keep the one-hot MXU reduce; "nomxu" = keep gathers, replace
+    the reduce with an elementwise add — isolates which pipeline stage
+    costs the measured full-vs-stream gap."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     TC = vals.shape[0]
     dtype = vals.dtype
     assert TC % BS == 0, (TC, BS)
+    if stream_only:
+        diag = "stream"
+    stream_only = diag == "stream"
     # per-superchunk scalar maps (wb constant within a superchunk)
     wb_sc = wb[::BS]
     sup_sc = super_of[::BS]
@@ -366,6 +377,20 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
         prev = jnp.maximum(c - 1, 0)
         new_super = (c == 0) | (sup_s[c] != sup_s[prev])
         new_win = (c == 0) | (wb_s[c] != wb_s[prev])
+
+        def tr(M):
+            """(128, 128) transpose — "mxu" routes it through a dot_general
+            with the identity (out[i,j] = Σ_k M[k,i]·I[k,j]): the MXU pass
+            measured ~30 ns/chunk vs the ~220 ns VPU gather/transpose
+            pipeline (tdiag, round4_tpu_results.jsonl)."""
+            if transpose_mode != "mxu":
+                return M.T
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                   == jax.lax.broadcasted_iota(
+                       jnp.int32, (LANES, LANES), 1)).astype(M.dtype)
+            return jax.lax.dot_general(
+                M, eye, (((0,), (0,)), ((), ())),
+                preferred_element_type=M.dtype)
 
         if dbuf:
             slot = jax.lax.rem(c, jnp.int32(2))
@@ -386,7 +411,7 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
             pltpu.make_async_copy(
                 x_hbm.at[pl.ds(wb_s[c], WIN), :], xwin.at[slot],
                 sem.at[slot]).wait()
-            xwt[...] = xwin[slot].T
+            xwt[...] = tr(xwin[slot])
         elif not stream_only:
             @pl.when(new_win)
             def _():
@@ -398,7 +423,7 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
                         x_hbm.at[pl.ds(wb_s[c], WIN), :], xtmp, wsem)
                     cp.start()
                     cp.wait()
-                    xwt[...] = xtmp[...].T
+                    xwt[...] = tr(xtmp[...])
                 pl.run_scoped(scoped, pltpu.VMEM((WIN, LANES), dtype),
                               pltpu.SemaphoreType.DMA)
 
@@ -408,8 +433,8 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
 
         ps = []
         for b in range(BS):
-            if stream_only:
-                # perf diagnostic: stream slot data, skip gathers
+            if diag in ("stream", "nogather"):
+                # perf diagnostics: stream slot data, skip the gathers
                 ps.append(vals_ref[b] + r_ref[b].astype(dtype))
                 continue
             qt = q_ref[b].astype(jnp.int32)                 # (128, CR)
@@ -419,11 +444,19 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
             else:
                 qpad = qt
             G = jnp.take_along_axis(xwt[...], qpad, axis=1)  # (128, 128)
-            comp = G.T[:CR]                                  # (CR, 128)
+            comp = tr(G)[:CR]                                # (CR, 128)
             g = jnp.take_along_axis(
                 comp, r_ref[b].astype(jnp.int32), axis=1)
             ps.append(vals_ref[b] * g)                       # (CR, 128)
         p = ps[0] if BS == 1 else jnp.concatenate(ps, axis=0)
+        if diag == "stream":
+            y_ref[...] += p[:ST]
+            return
+        if diag == "nomxu":
+            # keep gathers, drop the MXU reduce (elementwise stand-in)
+            for b in range(BS):
+                y_ref[...] += ps[b][:ST]
+            return
         oh = oh_ref[...].astype(dtype)                       # (BS, ST, CR)
         ohc = oh[0] if BS == 1 else \
             jnp.concatenate([oh[b] for b in range(BS)], axis=1)
