@@ -102,7 +102,12 @@ class ChebyshevP:
     A: Any
     theta: jnp.ndarray
     delta: jnp.ndarray
-    degree: int = struct.field(pytree_node=False)
+    # Jacobi scaling: the polynomial runs in D⁻¹A (AMGCL relax.scale:true)
+    # — the unscaled variant stalls on heterogeneous diagonals (A_2 carries
+    # identity BC rows next to ~3e3 stiffness entries: κ(A)=3.8e5 vs
+    # κ(D⁻¹A)≈1e3; measured 204 → 57 CG iterations on the pinned fixture)
+    Dinv: Any = None
+    degree: int = struct.field(pytree_node=False, default=8)
 
 
 @struct.dataclass
@@ -188,9 +193,10 @@ def _ls_jacobi(A_host, A_dev, params, **kw):
 
 
 def estimate_spectral_radius(A_dev, n: int, iters: int = 20, seed: int = 0,
-                             dtype=None) -> jnp.ndarray:
-    """Power iteration for ρ(A) (the reference's AMGCL config runs 100 power
-    iterations for its chebyshev bracket — AMGCL.cpp:36-43)."""
+                             dtype=None, Dinv=None) -> jnp.ndarray:
+    """Power iteration for ρ(A) — or ρ(D⁻¹A) when ``Dinv`` is given (the
+    reference's AMGCL config runs 100 power iterations for its chebyshev
+    bracket — AMGCL.cpp:36-43)."""
     dtype = dtype or A_dev.dtype
     v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=dtype)
     v0 = v0 / jnp.sqrt(jnp.vdot(v0, v0))
@@ -198,6 +204,8 @@ def estimate_spectral_radius(A_dev, n: int, iters: int = 20, seed: int = 0,
     def body(_, carry):
         v, lam = carry
         w = ops.matvec(A_dev, v)
+        if Dinv is not None:
+            w = Dinv * w
         nw = jnp.sqrt(jnp.vdot(w, w))
         return (w / jnp.maximum(nw, 1e-300), nw)
 
@@ -210,7 +218,8 @@ def _chebyshev_apply(state: ChebyshevP, r: jnp.ndarray) -> jnp.ndarray:
     canonical recurrence in amg.chebyshev1 (single copy, VERDICT r1 weak #9)."""
     from polysolve_tpu.linear.amg import chebyshev1
 
-    return chebyshev1(state.A, state.theta, state.delta, state.degree, r)
+    return chebyshev1(state.A, state.theta, state.delta, state.degree, r,
+                      Dinv=state.Dinv)
 
 
 @register("Chebyshev")
@@ -219,10 +228,17 @@ def _chebyshev(A_host, A_dev, params, **kw):
     power_iters = int(params.get("power_iters", 20))
     lo_frac = float(params.get("spectrum_lower", 1.0 / 30.0))
     hi_frac = float(params.get("spectrum_upper", 1.1))
-    rho = estimate_spectral_radius(A_dev, A_host.shape[0], power_iters)
+    from polysolve_tpu.types import default_dtype as _dd
+
+    d = A_host.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    Dinv = jnp.asarray(1.0 / d, dtype=A_dev.dtype
+                       if hasattr(A_dev, "dtype") else _dd())
+    rho = estimate_spectral_radius(A_dev, A_host.shape[0], power_iters,
+                                   Dinv=Dinv)
     alpha, beta = lo_frac * rho, hi_frac * rho
     return ChebyshevP(A=A_dev, theta=(beta + alpha) / 2.0,
-                      delta=(beta - alpha) / 2.0, degree=degree)
+                      delta=(beta - alpha) / 2.0, Dinv=Dinv, degree=degree)
 
 
 def bank_diagonal_blocks(A: sp.spmatrix, s: int) -> np.ndarray:

@@ -460,7 +460,14 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
         oh = oh_ref[...].astype(dtype)                       # (BS, ST, CR)
         ohc = oh[0] if BS == 1 else \
             jnp.concatenate([oh[b] for b in range(BS)], axis=1)
-        y_ref[...] += jnp.dot(ohc, p, preferred_element_type=dtype)
+        # HIGHEST: the TPU default runs this fp32 dot as ONE bf16 MXU pass,
+        # truncating p to 8 mantissa bits — measured 1.4e-3 relative error
+        # per matvec (round4 'tr' probe), which caps what the fp32 Krylov
+        # loop can reach before df64 refinement takes over. The one-hot is
+        # exact either way; the 3-pass emulation restores ~fp32 accuracy
+        # for ~2x the (tiny, 30 ns/chunk) MXU share.
+        y_ref[...] += jnp.dot(ohc, p, preferred_element_type=dtype,
+                              precision=jax.lax.Precision.HIGHEST)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # super_of, wb (per superchunk)
