@@ -215,9 +215,9 @@ def _bench_unstructured():
     nrows2d = -(-n // 128)
 
     @jax.jit
-    def chain(vals, r8, q8t, oh8, wb, super_of, x2d):
+    def chain(vals, r8, q8t, dt8, wb, super_of, x2d):
         def body(i, x2d):
-            y = tile_ell._tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of,
+            y = tile_ell._tile_ell_pallas(vals, r8, q8t, dt8, wb, super_of,
                                           x2d, M.n_super, M.cr, M.st, M.bs)
             return jax.lax.dynamic_update_slice(
                 x2d, (y / jnp.float32(64.0))[: nrows2d * 128].reshape(
@@ -226,7 +226,7 @@ def _bench_unstructured():
         x2d = jax.lax.fori_loop(0, K_CHAIN, body, x2d)
         return jnp.vdot(x2d[0], x2d[0])
 
-    args = (M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d)
+    args = (M.vals, M.r8, M.q8t, M.dt8, M.wb, M.super_of, x2d)
     float(chain(*args))
     best = 1e9
     for _ in range(2):

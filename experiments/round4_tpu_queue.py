@@ -172,10 +172,10 @@ def sec_tdiag():
 
     for diag in ("full", "nomxu", "nogather", "stream"):
         @jax.jit
-        def chain(vals, r8, q8t, oh8, wb, super_of, x2d, diag=diag):
+        def chain(vals, r8, q8t, dt8, wb, super_of, x2d, diag=diag):
             def body(i, x2d):
                 y = tile_ell._tile_ell_pallas(
-                    vals, r8, q8t, oh8, wb, super_of, x2d,
+                    vals, r8, q8t, dt8, wb, super_of, x2d,
                     M.n_super, M.cr, M.st, M.bs, diag=diag)
                 return jax.lax.dynamic_update_slice(
                     x2d, (y / _jnp.float32(64.0))[: nrows2d * 128].reshape(
@@ -184,7 +184,7 @@ def sec_tdiag():
             x2d = jax.lax.fori_loop(0, K, body, x2d)
             return _jnp.vdot(x2d[0], x2d[0])
 
-        args = (M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d)
+        args = (M.vals, M.r8, M.q8t, M.dt8, M.wb, M.super_of, x2d)
         t0 = time.perf_counter()
         float(chain(*args))
         compile_s = time.perf_counter() - t0
@@ -224,17 +224,17 @@ def sec_tr():
     for tm in ("mxu", "vpu"):
         # correctness first (single apply)
         y = np.asarray(tile_ell._tile_ell_pallas(
-            M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d,
+            M.vals, M.r8, M.q8t, M.dt8, M.wb, M.super_of, x2d,
             M.n_super, M.cr, M.st, M.bs, transpose_mode=tm))[:n]
         if y_ref is None:
             y_ref = A @ np.asarray(x, np.float64)
         rel = float(np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref))
 
         @jax.jit
-        def chain(vals, r8, q8t, oh8, wb, super_of, x2d, tm=tm):
+        def chain(vals, r8, q8t, dt8, wb, super_of, x2d, tm=tm):
             def body(i, x2d):
                 y = tile_ell._tile_ell_pallas(
-                    vals, r8, q8t, oh8, wb, super_of, x2d,
+                    vals, r8, q8t, dt8, wb, super_of, x2d,
                     M.n_super, M.cr, M.st, M.bs, transpose_mode=tm)
                 return jax.lax.dynamic_update_slice(
                     x2d, (y / _jnp.float32(64.0))[: nrows2d * 128].reshape(
@@ -243,7 +243,7 @@ def sec_tr():
             x2d = jax.lax.fori_loop(0, K, body, x2d)
             return _jnp.vdot(x2d[0], x2d[0])
 
-        args = (M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d)
+        args = (M.vals, M.r8, M.q8t, M.dt8, M.wb, M.super_of, x2d)
         t0 = time.perf_counter()
         float(chain(*args))
         compile_s = time.perf_counter() - t0

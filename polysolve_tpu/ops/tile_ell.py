@@ -85,7 +85,11 @@ class TileELLMatrix:
     q8t     : (TC, 128, CR) int8  — per-(source-lane, slot-row) segment,
                                      relative to the chunk window base
                                      (TRANSPOSED: fed to the lane gather on Xᵀ)
-    oh8     : (TC, ST, CR)  int8  — one-hot dest tile of each slot-row
+    dt8     : (TC, CR)      int8  — dest tile of each slot-row (the kernel
+                                     expands the one-hot reduction operand
+                                     with an iota compare; streaming the
+                                     (ST, CR) one-hot cost 0.94 B/slot —
+                                     ~13%% of the stream traffic)
     wb      : (TC,)         int32 — chunk window base row of x2d (8-aligned)
     super_of: (TC,)         int32 — owning supertile (sorted)
     shape   : static (n, m) of the original matrix
@@ -96,7 +100,7 @@ class TileELLMatrix:
     vals: jnp.ndarray
     r8: jnp.ndarray
     q8t: jnp.ndarray
-    oh8: jnp.ndarray
+    dt8: jnp.ndarray
     wb: jnp.ndarray
     super_of: jnp.ndarray
     shape: Tuple[int, int] = struct.field(pytree_node=False)
@@ -161,11 +165,15 @@ def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
         vals, r8, q8, oh8, wb, super_of = packed
     else:
         vals, r8, q8, oh8, wb, super_of = _pack_numpy(A, cr, st, bs=bs)
+    # one-hot → index plane (empty slot-rows argmax to tile 0: their vals
+    # are all zero, so the reduction contribution is zero either way)
+    dt8 = np.ascontiguousarray(
+        np.argmax(np.asarray(oh8), axis=1).astype(np.int8))
     return TileELLMatrix(
         vals=jnp.asarray(vals, dtype=dtype),
         r8=jnp.asarray(r8),
         q8t=jnp.asarray(np.swapaxes(q8, 1, 2).copy()),
-        oh8=jnp.asarray(oh8),
+        dt8=jnp.asarray(dt8),
         wb=jnp.asarray(wb),
         super_of=jnp.asarray(super_of),
         shape=(n, m),
@@ -318,8 +326,9 @@ def tile_ell_matvec_ref(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     comp = x2d[seg_abs, rho]                                # composite rows
     g = jnp.take_along_axis(comp, A.r8.astype(jnp.int32), axis=2)
     p = A.vals * g                                          # (TC, CR, 128)
-    contrib = jnp.einsum("cts,csl->ctl",
-                         A.oh8.astype(A.vals.dtype), p)     # (TC, ST, 128)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (A.st, A.cr), 0)[None]
+          == A.dt8.astype(jnp.int32)[:, None, :]).astype(A.vals.dtype)
+    contrib = jnp.einsum("cts,csl->ctl", oh, p)             # (TC, ST, 128)
     y = jax.ops.segment_sum(contrib, A.super_of,
                             num_segments=A.n_super)         # (NS, ST, 128)
     return y.reshape(-1)[: A.shape[0]]
@@ -332,7 +341,7 @@ def tile_ell_matvec_ref(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 def tile_ell_matvec_pallas(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     x2d = _pad_x2d(A, x)
-    return _tile_ell_pallas(A.vals, A.r8, A.q8t, A.oh8, A.wb, A.super_of,
+    return _tile_ell_pallas(A.vals, A.r8, A.q8t, A.dt8, A.wb, A.super_of,
                             x2d, A.n_super, A.cr, A.st,
                             A.bs)[: A.shape[0]]
 
@@ -341,7 +350,7 @@ def tile_ell_matvec_pallas(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
                    static_argnames=("n_super", "CR", "ST", "BS",
                                     "stream_only", "window_mode", "diag",
                                     "transpose_mode"))
-def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
+def _tile_ell_pallas(vals, r8, q8t, dt8, wb, super_of, x2d, n_super, CR, ST,
                      BS: int = 1, stream_only: bool = False,
                      window_mode: str = "inline", diag: str = "full",
                      transpose_mode: str = "vpu"):
@@ -371,7 +380,7 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
     NSC = TC // BS
     dbuf = (window_mode == "dbuf") and not stream_only
 
-    def kernel(sup_s, wb_s, q_ref, oh_ref, vals_ref, r_ref, x_hbm,
+    def kernel(sup_s, wb_s, q_ref, dt_ref, vals_ref, r_ref, x_hbm,
                y_ref, xwin, xwt, sem):
         c = pl.program_id(0)
         prev = jnp.maximum(c - 1, 0)
@@ -457,9 +466,13 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
             for b in range(BS):
                 y_ref[...] += ps[b][:ST]
             return
-        oh = oh_ref[...].astype(dtype)                       # (BS, ST, CR)
-        ohc = oh[0] if BS == 1 else \
-            jnp.concatenate([oh[b] for b in range(BS)], axis=1)
+        # expand dest-tile indices to the one-hot reduction operand in
+        # VMEM (iota compare — the (ST, CR) one-hot cost 0.94 B/slot of
+        # HBM streaming when shipped precomputed)
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (ST, CR), 0)
+        ohs = [(iota_t == dt_ref[b].astype(jnp.int32)[None, :]
+                ).astype(dtype) for b in range(BS)]
+        ohc = ohs[0] if BS == 1 else jnp.concatenate(ohs, axis=1)
         # HIGHEST: the TPU default runs this fp32 dot as ONE bf16 MXU pass,
         # truncating p to 8 mantissa bits — measured 1.4e-3 relative error
         # per matvec (round4 'tr' probe), which caps what the fp32 Krylov
@@ -474,7 +487,7 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
         grid=(NSC,),
         in_specs=[
             pl.BlockSpec((BS, LANES, CR), lambda c, ss, wbs: (c, 0, 0)),
-            pl.BlockSpec((BS, ST, CR), lambda c, ss, wbs: (c, 0, 0)),
+            pl.BlockSpec((BS, CR), lambda c, ss, wbs: (c, 0)),
             pl.BlockSpec((BS, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
             pl.BlockSpec((BS, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -492,5 +505,5 @@ def _tile_ell_pallas(vals, r8, q8t, oh8, wb, super_of, x2d, n_super, CR, ST,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_super * ST, LANES), dtype),
-    )(sup_sc, wb_sc, q8t, oh8, vals, r8, x2d)
+    )(sup_sc, wb_sc, q8t, dt8, vals, r8, x2d)
     return y.reshape(-1)

@@ -321,7 +321,7 @@ def test_tile_ell_window_modes_agree(unstructured_rcm, rng):
     for mode in ("inline", "dbuf"):
         with pltpu.force_tpu_interpret_mode():
             outs.append(np.asarray(tile_ell._tile_ell_pallas(
-                M.vals, M.r8, M.q8t, M.oh8, M.wb, M.super_of, x2d,
+                M.vals, M.r8, M.q8t, M.dt8, M.wb, M.super_of, x2d,
                 M.n_super, M.cr, M.st, M.bs, False, mode))[: A.shape[0]])
     assert np.array_equal(outs[0], outs[1])
     assert np.linalg.norm(outs[0] - A @ np.asarray(x)) <         1e-10 * np.linalg.norm(A @ np.asarray(x))
