@@ -235,19 +235,42 @@ def _power_iter_dia(A_dev, Dinv, v0, iters: int = 20):
 
 
 _PROBE_B = 32      # default probe columns per batched-SpMM chunk
-_EXTRACT_CHUNK = 1024  # offsets per extract program (fixed-shape chunks)
+# offsets per extract program (fixed-shape chunks). 128, not 1024: the
+# extract output materializes (C_pad, n_c) on device and every padded
+# offset costs one full-width gather — padding the fine level's 125
+# candidates to 1024 made a 3.6 GB array and 20.8 s of the measured
+# 39.6 s refactorize at n=7.08M (round4 L0_probe_extract_s). Mile-long
+# scans also wedge the compile helper; 128-step scans are safe.
+_EXTRACT_CHUNK = 128
 
 
-def _pick_probe_b(n_f: int, itemsize: int = 4) -> int:
-    """Probe batch width per level: the smallest of {32, 64, 128} whose
-    (B, n_f) probe block exceeds the VMEM promotion size — XLA promotes a
-    sub-VMEM pallas OUTPUT into VMEM on top of the kernel's scratch (the
-    measured m=64 OOM, ops/spmv.py _MM_MIN_BYTES). Levels too small for any
-    width run the jnp SpMM anyway (the ≥64 MB matmat_bt gate)."""
-    for B in (_PROBE_B, 64, 128):
-        if B * n_f * itemsize > (17 << 20):
-            return B
-    return _PROBE_B
+def _pick_probe_b(A_dev, n_cls: int, itemsize: int = 4) -> int:
+    """Probe batch width per level, chosen by MINIMIZING total probe HBM
+    traffic jointly with the kernel tile: bigger B amortizes the (K, n)
+    vals stream across more columns, but shrinks the admissible tile (the
+    live=K VMEM budget) and the x-window read per tile is win ≈ T + halo —
+    at the 7.08M fine level B=32 forced T=2048 with a 37× window-overlap
+    factor (~34 GB of x reads per SpMM, the measured L0 refactorize cost)
+    while B=8 admits T=16384 at ~1.3 GB. Output promotion is budgeted via
+    the reserve term (ops/spmv.py)."""
+    from polysolve_tpu.ops import spmv as _sm
+
+    n = A_dev.shape[0]
+    K = len(A_dev.offsets)
+    halo = max(0, -min(A_dev.offsets)) + max(0, max(A_dev.offsets))
+    best, bestB = None, _PROBE_B
+    for B in (8, 16, 32, 64, 128):
+        out_bytes = B * n * itemsize
+        reserve = out_bytes if out_bytes <= (17 << 20) else 0
+        T = _sm._pick_tile_mm(n, K, halo, B, itemsize, reserve)
+        if T == 0:
+            continue
+        win = _sm._round_up(T + halo, 1024)
+        per_spmm = (K * n + (n // T + 1) * win * B + 2 * B * n) * itemsize
+        traffic = -(-n_cls // B) * per_spmm
+        if best is None or traffic < best:
+            best, bestB = traffic, B
+    return bestB
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
@@ -312,6 +335,20 @@ def _extract_dia(Y, cls, offs_arr, deltas, coords, cg_arr):
 
     _, vals = jax.lax.scan(body, None, (offs_arr, deltas))
     return vals
+
+
+@jax.jit
+def _dia_action(vals, offs_arr, z):
+    """y[i] = Σ_k vals[k, i]·z[i + offs[k]] as ONE gather program — the
+    probed-operator action for verification. ops.matvec on a wide-K DIA
+    unrolls K shifted FMAs: at the K≈1.9k deep level that program took
+    359 s to compile and ~4 s per apply (round-4 L2_verify_s); the single
+    (K, n) gather compiles in seconds and runs in milliseconds."""
+    n = z.shape[0]
+    idx = offs_arr[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+    ok = (idx >= 0) & (idx < n)
+    zg = jnp.take(z, jnp.clip(idx, 0, n - 1), axis=0) * ok.astype(z.dtype)
+    return jnp.sum(vals * zg, axis=0)
 
 
 @jax.jit
@@ -436,8 +473,7 @@ def _probe_dense_rap(A_dev, Dinv_dev, w, grid, dtype,
 
     cg = tuple(g // 2 for g in grid)
     n_c = int(np.prod(cg))
-    n_f = int(np.prod(grid))
-    B = _pick_probe_b(n_f)
+    B = _pick_probe_b(A_dev, n_c)
     w_dev = jnp.asarray(w, dtype=dtype)
     iota = jnp.arange(n_c, dtype=jnp.int32)      # identity "class" map
     n_chunks = -(-n_c // B)
@@ -522,7 +558,7 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
         offs_pad[:C] = offs_cand
         deltas_pad = np.full((C_pad, d), max(cg) + 1, dtype=np.int32)
         deltas_pad[:C] = deltas
-        B = _pick_probe_b(n_f)
+        B = _pick_probe_b(A_dev, n_cls)
         n_chunks = -(-n_cls // B)
     host_s = _time.perf_counter() - t0
 
@@ -572,8 +608,9 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
                    shape=(n_c, n_c), nnz=max(nnz_count, 1))
     rel = _verify_rel(
         yz,
-        lambda zz: np.asarray(ops.matvec(Ac, jnp.asarray(zz, dtype=dtype)),
-                              dtype=np.float64), z)
+        lambda zz: np.asarray(
+            _dia_action(vals_kept, jnp.asarray(offs_kept, jnp.int32),
+                        jnp.asarray(zz, dtype=dtype)), dtype=np.float64), z)
     verify_s = _time.perf_counter() - t0
     _tacc(timings, tag, "probe_extract_s", probe_s)
     _tacc(timings, tag, "verify_s", verify_s)
@@ -750,9 +787,18 @@ class AMGHierarchy:
                         A_dev.shape[0]), dtype=dtype)
                     tag = f"L{len(levels)}_"
                     t0 = _time.perf_counter()
+                    # refactorize (plan reuse): the spectrum moves slowly
+                    # between Newton steps and cheb4 needs only an upper
+                    # bound — 6 iterations with a 5% safety margin replace
+                    # the full 20 (L0 power was 2.8 s of the warm
+                    # refactorize at n=7.08M)
+                    p_iters = int(params.get("power_iters", 20))
+                    if prev_plan is not None:
+                        p_iters = min(p_iters, 6)
                     rho_da = max(float(_power_iter_dia(
-                        A_dev, Dinv_dev, v0,
-                        iters=int(params.get("power_iters", 20)))), 1e-12)
+                        A_dev, Dinv_dev, v0, iters=p_iters)), 1e-12)
+                    if prev_plan is not None:
+                        rho_da *= 1.05
                     _tacc(timings, tag, "power_s", _time.perf_counter() - t0)
                     w_used = omega / rho_da
                     n_c_next = int(np.prod([g // 2 for g in grid]))

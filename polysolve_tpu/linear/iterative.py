@@ -635,8 +635,12 @@ class AMGSolver(KrylovSolver):
             self.params["block_size"] = int(self.params.get("dimension", 2))
 
     def factorize(self, A: sp.spmatrix) -> None:
+        import time as _time
+
         from polysolve_tpu.linear import amg as amg_mod
 
+        _ft: Dict[str, float] = {}
+        t0 = _time.perf_counter()
         bs = int(self.params.get("block_size", self.block_size))
         self.block_size = bs
         self.A_host = sp.csr_matrix(A)
@@ -672,11 +676,14 @@ class AMGSolver(KrylovSolver):
             A_work = A_work[perm][:, perm].tocsr()
             self._perm = np.asarray(perm)
         self._A_work = A_work
+        _ft["facade_prep_s"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         self.A_dev = ops.to_device_matrix(A_work, block_size=1)
         from polysolve_tpu.linear import amg as _amg
 
         self.A_dev = _amg._maybe_tile(self.A_dev, A_work, amg_probe,
                                       self.A_dev.dtype)
+        _ft["facade_convert_s"] = _time.perf_counter() - t0
         from polysolve_tpu.ops.tile_ell import TileELLMatrix
 
         if isinstance(self.A_dev, TileELLMatrix):
@@ -717,11 +724,16 @@ class AMGSolver(KrylovSolver):
         if nullspace is not None and self._perm is not None:
             nullspace = np.asarray(nullspace).reshape(
                 A_work.shape[0], -1)[self._perm]
+        t0 = _time.perf_counter()
         self._hier = amg_mod.AMGHierarchy.setup(
             A_work, amg_params, block_size=bs, nullspace=nullspace,
             logger=self.logger, reuse_aggregates=reuse,
             reuse_probe=reuse_probe,
         )
+        _ft["facade_setup_s"] = _time.perf_counter() - t0
+        if self._hier.timings is not None:
+            self._hier.timings.update(
+                {k: round(v, 3) for k, v in _ft.items()})
         self._pattern = pattern
         # row-shard the whole hierarchy over the mesh when configured: fine
         # levels partition cleanly; coarse levels whose sizes don't divide the
