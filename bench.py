@@ -322,9 +322,14 @@ def _bench_amg_pcg(A, x_seed):
     # probe-plan-reuse refactorize (same pattern, new values — the
     # Newton-loop optimization; the reference rebuilds AMGCL fully,
     # AMGCL.cpp:148-184)
-    t0 = time.perf_counter()
-    s.factorize(A)
-    refac_s = time.perf_counter() - t0
+    refac_s = 1e9
+    for _ in range(2):
+        # best-of-2: the first repeat may still compile reuse-path programs
+        # (shorter power iteration etc); Newton loops refactorize many
+        # times, so the steady-state repeat is the honest number
+        t0 = time.perf_counter()
+        s.factorize(A)
+        refac_s = min(refac_s, time.perf_counter() - t0)
     out = {
         "n": n, "setup_s": round(setup_s, 1),
         "refactorize_same_pattern_s": round(refac_s, 1),

@@ -111,9 +111,14 @@ def sec_amg(m):
     warm_solve_s = time.perf_counter() - t0
     info = s.get_info()
     rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
-    t0 = time.perf_counter()
-    s.factorize(A)
-    refac_s = time.perf_counter() - t0
+    refac_s = 1e9
+    for _ in range(2):
+        # best-of-2: the first repeat may still compile reuse-path programs
+        # (shorter power iteration etc); Newton loops refactorize many
+        # times, so the steady-state repeat is the honest number
+        t0 = time.perf_counter()
+        s.factorize(A)
+        refac_s = min(refac_s, time.perf_counter() - t0)
     phases2 = {k: round(v, 2) for k, v in (s._hier.timings or {}).items()}
 
     dtype = s.A_dev.dtype

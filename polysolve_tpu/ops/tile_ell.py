@@ -85,11 +85,14 @@ class TileELLMatrix:
     q8t     : (TC, 128, CR) int8  — per-(source-lane, slot-row) segment,
                                      relative to the chunk window base
                                      (TRANSPOSED: fed to the lane gather on Xᵀ)
-    dt8     : (TC, CR)      int8  — dest tile of each slot-row (the kernel
+    dt8     : (TC, 8, CR)   int8  — dest tile of each slot-row, replicated
+                                     over 8 sublanes (Mosaic block shapes
+                                     need sublane divisibility; the kernel
                                      expands the one-hot reduction operand
                                      with an iota compare; streaming the
                                      (ST, CR) one-hot cost 0.94 B/slot —
-                                     ~13%% of the stream traffic)
+                                     ~13%% of the stream traffic — vs
+                                     0.06 B/slot for this plane)
     wb      : (TC,)         int32 — chunk window base row of x2d (8-aligned)
     super_of: (TC,)         int32 — owning supertile (sorted)
     shape   : static (n, m) of the original matrix
@@ -167,8 +170,9 @@ def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
         vals, r8, q8, oh8, wb, super_of = _pack_numpy(A, cr, st, bs=bs)
     # one-hot → index plane (empty slot-rows argmax to tile 0: their vals
     # are all zero, so the reduction contribution is zero either way)
-    dt8 = np.ascontiguousarray(
-        np.argmax(np.asarray(oh8), axis=1).astype(np.int8))
+    dt8 = np.ascontiguousarray(np.repeat(
+        np.argmax(np.asarray(oh8), axis=1).astype(np.int8)[:, None, :],
+        8, axis=1))
     return TileELLMatrix(
         vals=jnp.asarray(vals, dtype=dtype),
         r8=jnp.asarray(r8),
@@ -327,7 +331,8 @@ def tile_ell_matvec_ref(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     g = jnp.take_along_axis(comp, A.r8.astype(jnp.int32), axis=2)
     p = A.vals * g                                          # (TC, CR, 128)
     oh = (jax.lax.broadcasted_iota(jnp.int32, (A.st, A.cr), 0)[None]
-          == A.dt8.astype(jnp.int32)[:, None, :]).astype(A.vals.dtype)
+          == A.dt8[:, 0, :].astype(jnp.int32)[:, None, :]
+          ).astype(A.vals.dtype)
     contrib = jnp.einsum("cts,csl->ctl", oh, p)             # (TC, ST, 128)
     y = jax.ops.segment_sum(contrib, A.super_of,
                             num_segments=A.n_super)         # (NS, ST, 128)
@@ -470,24 +475,28 @@ def _tile_ell_pallas(vals, r8, q8t, dt8, wb, super_of, x2d, n_super, CR, ST,
         # VMEM (iota compare — the (ST, CR) one-hot cost 0.94 B/slot of
         # HBM streaming when shipped precomputed)
         iota_t = jax.lax.broadcasted_iota(jnp.int32, (ST, CR), 0)
-        ohs = [(iota_t == dt_ref[b].astype(jnp.int32)[None, :]
+        ohs = [(iota_t == dt_ref[b, 0].astype(jnp.int32)[None, :]
                 ).astype(dtype) for b in range(BS)]
         ohc = ohs[0] if BS == 1 else jnp.concatenate(ohs, axis=1)
-        # HIGHEST: the TPU default runs this fp32 dot as ONE bf16 MXU pass,
-        # truncating p to 8 mantissa bits — measured 1.4e-3 relative error
-        # per matvec (round4 'tr' probe), which caps what the fp32 Krylov
-        # loop can reach before df64 refinement takes over. The one-hot is
-        # exact either way; the 3-pass emulation restores ~fp32 accuracy
-        # for ~2x the (tiny, 30 ns/chunk) MXU share.
-        y_ref[...] += jnp.dot(ohc, p, preferred_element_type=dtype,
-                              precision=jax.lax.Precision.HIGHEST)
+        # two-pass bf16 split: the TPU default runs this fp32 dot as ONE
+        # bf16 MXU pass, truncating p to 8 mantissa bits — measured 1.4e-3
+        # relative error per matvec (round4 'tr' probe), which caps what
+        # the fp32 Krylov loop can reach before df64 refinement takes
+        # over. The one-hot operand is bf16-EXACT, so splitting only p
+        # into (high, low) bf16 parts gives ~4e-6 accuracy for one extra
+        # MXU pass — Precision.HIGHEST (which also splits the exact
+        # one-hot) measured +115 ns/chunk and cost 14.1 → 11.4 Gnnz/s.
+        pb = p.astype(jnp.bfloat16).astype(dtype)
+        plo = p - pb
+        y_ref[...] += (jnp.dot(ohc, pb, preferred_element_type=dtype)
+                       + jnp.dot(ohc, plo, preferred_element_type=dtype))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # super_of, wb (per superchunk)
         grid=(NSC,),
         in_specs=[
             pl.BlockSpec((BS, LANES, CR), lambda c, ss, wbs: (c, 0, 0)),
-            pl.BlockSpec((BS, CR), lambda c, ss, wbs: (c, 0)),
+            pl.BlockSpec((BS, 8, CR), lambda c, ss, wbs: (c, 0, 0)),
             pl.BlockSpec((BS, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
             pl.BlockSpec((BS, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
