@@ -492,56 +492,71 @@ def extract_values(sym: BlockSymbolic, A: sp.spmatrix) -> np.ndarray:
 
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
-def _factor_scan_flat(a_vals, a_blk, a_i, a_j, f_diag, f_pan_blk, f_pan_own,
-                      f_upd_a, f_upd_b, f_upd_d, n_blocks: int, m: int):
+@functools.partial(jax.jit, static_argnames=("n_blocks", "nb", "m"))
+def _factor_scan_flat(a_vals, a_blk, a_i, a_j, f_diag, f_cols, f_pan_blk,
+                      f_pan_own, f_upd_a, f_upd_b, f_upd_d,
+                      n_blocks: int, nb: int, m: int):
     """Flat budgeted right-looking Cholesky: every step processes a batch of
     independent columns through three uniform batched lists — diagonal
-    POTRFs (C,), panel TRSMs (P,), update GEMMs (U,) — instead of the
-    (Bc, Wmax, Wmax) padded tensors of _factor_scan_level, which moved ~8×
-    the necessary bytes (most slots padding). Guard block ``n_blocks`` = I
-    absorbs every padded read/write and is reset each step."""
+    POTRFs (C,), panel solves (P,), update GEMMs (U,) — instead of the
+    (Bc, Wmax, Wmax) padded tensors of the old level schedule, which moved
+    ~8× the necessary bytes. Guard block ``n_blocks`` = I absorbs every
+    padded read/write and is reset each step.
+
+    Each step also computes the batched INVERSE of its diagonal factors
+    (one (C, m, m) triangular solve against I). The panel step and both
+    substitution sweeps then become pure batched GEMMs on the MXU — the
+    triangular-solve chains are ~m sequential column ops each and were the
+    measured cost of the 0.2 s solve at n=110k (round4). Returns
+    (blocks, diag_inv) with diag_inv indexed by BLOCK COLUMN (pad row nb).
+    """
     dtype = a_vals.dtype
     eye = jnp.eye(m, dtype=dtype)
     blocks = jnp.zeros((n_blocks + 1, m, m), dtype=dtype)
     blocks = blocks.at[a_blk, a_i, a_j].add(a_vals)
     blocks = blocks.at[n_blocks].set(eye)
+    dinv0 = jnp.zeros((nb + 1, m, m), dtype=dtype)
 
-    def step(blocks, xs):
-        fd, pb, po, ua, ub, ud = xs
+    def step(carry, xs):
+        blocks, dinv = carry
+        fd, fc, pb, po, ua, ub, ud = xs
         Ld = jnp.linalg.cholesky(blocks[fd])                 # (C, m, m)
+        C = fd.shape[0]
+        Ldinv = jax.scipy.linalg.solve_triangular(
+            Ld, jnp.broadcast_to(eye, Ld.shape), lower=True)  # Ld^{-1}
         P = blocks[pb]                                       # (P, m, m)
         # pad slots carry po = C (one past the end): the gather clamps to
-        # the last real diagonal and the garbage TRSM lands on the guard
-        Y = jax.scipy.linalg.solve_triangular(
-            Ld[jnp.minimum(po, fd.shape[0] - 1)],
-            jnp.swapaxes(P, -1, -2), lower=True)
-        Loff = jnp.swapaxes(Y, -1, -2)
+        # the last real diagonal and the garbage result lands on the guard
+        Loff = jnp.einsum("pij,pkj->pik", P,
+                          Ldinv[jnp.minimum(po, C - 1)],
+                          preferred_element_type=dtype,
+                          precision=jax.lax.Precision.HIGHEST)
         blocks = blocks.at[fd].set(Ld).at[pb].set(Loff)
+        dinv = dinv.at[fc].set(Ldinv)
         La = blocks[ua]                                      # (U, m, m)
         Lb = blocks[ub]
         U = jnp.einsum("uij,ukj->uik", La, Lb,
                        preferred_element_type=dtype,
                        precision=jax.lax.Precision.HIGHEST)
         blocks = blocks.at[ud].add(-U)
-        return blocks.at[n_blocks].set(eye), None
+        return (blocks.at[n_blocks].set(eye), dinv), None
 
-    blocks, _ = lax.scan(
-        step, blocks, (f_diag, f_pan_blk, f_pan_own, f_upd_a, f_upd_b,
-                       f_upd_d))
-    return blocks
+    (blocks, dinv), _ = lax.scan(
+        step, (blocks, dinv0),
+        (f_diag, f_cols, f_pan_blk, f_pan_own, f_upd_a, f_upd_b, f_upd_d))
+    return blocks, dinv
 
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
-def _solve_scan_flat(blocks, f_diag, f_cols, f_pan_blk, f_pan_own, f_pan_row,
-                     B, n_blocks: int, m: int):
-    """Flat budgeted L Lᵀ X = B: the triangular solves batch through the
-    SAME per-step lists as _factor_scan_flat — C diagonal solves + P panel
-    SAXPYs per step instead of (Bc, Wmax, m, m) padded gathers (which moved
-    ~8× the necessary bytes; solve was 1.2-2.4 s at n=110k, VERDICT r3 #4).
-    Padding: block ids point at the guard (identity) block, rows at the
-    guard row nb, owners at slot C (scattered into a dropped extra slot)."""
+def _solve_scan_flat(blocks, dinv, f_diag, f_cols, f_pan_blk, f_pan_own,
+                     f_pan_row, B, n_blocks: int, m: int):
+    """Flat budgeted L Lᵀ X = B via the precomputed diagonal inverses —
+    every step is batched GEMMs only (diag applies + panel SAXPYs); the
+    per-step triangular solves were ~m sequential column ops each and
+    dominated the 0.2 s solve at n=110k. Padding: block ids point at the
+    guard (identity) block, rows at the guard row nb, owners at slot C
+    (scattered into a dropped extra slot)."""
     nb = B.shape[0]
     nrhs = B.shape[2]
     C = f_diag.shape[1]
@@ -549,7 +564,8 @@ def _solve_scan_flat(blocks, f_diag, f_cols, f_pan_blk, f_pan_own, f_pan_row,
 
     def fwd(y, xs):
         fd, fc, pb, po, prow = xs
-        yk = jax.scipy.linalg.solve_triangular(blocks[fd], y[fc], lower=True)
+        yk = jnp.einsum("cij,cjr->cir", dinv[fc], y[fc],
+                        precision=jax.lax.Precision.HIGHEST)
         y = y.at[fc].set(yk)
         yk_ext = jnp.concatenate(
             [yk, jnp.zeros((1, m, nrhs), dtype=yk.dtype)], axis=0)
@@ -567,8 +583,8 @@ def _solve_scan_flat(blocks, f_diag, f_cols, f_pan_blk, f_pan_own, f_pan_row,
         c = jnp.einsum("pij,pir->pjr", Lo, x[prow],
                        precision=jax.lax.Precision.HIGHEST)  # (P, m, r)
         s = jnp.zeros((C + 1, m, nrhs), dtype=x.dtype).at[po].add(c)
-        xk = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(blocks[fd], -1, -2), x[fc] - s[:C], lower=False)
+        xk = jnp.einsum("cji,cjr->cir", dinv[fc], x[fc] - s[:C],
+                        precision=jax.lax.Precision.HIGHEST)
         return x.at[fc].set(xk), None
 
     x, _ = lax.scan(bwd, y, xs, reverse=True)
@@ -817,12 +833,13 @@ class SupernodalCholesky:
         s = self.sym
         vals = extract_values(s, A)
         a_blk, a_i, a_j = self._tables[:3]
-        self.blocks = _factor_scan_flat(
+        self.blocks, self.diag_inv = _factor_scan_flat(
             jnp.asarray(vals, dtype=default_dtype()), a_blk, a_i, a_j,
-            jnp.asarray(s.f_diag), jnp.asarray(s.f_pan_blk),
+            jnp.asarray(s.f_diag), jnp.asarray(s.f_cols),
+            jnp.asarray(s.f_pan_blk),
             jnp.asarray(s.f_pan_own), jnp.asarray(s.f_upd_a),
             jnp.asarray(s.f_upd_b), jnp.asarray(s.f_upd_d),
-            n_blocks=s.n_blocks, m=s.m)
+            n_blocks=s.n_blocks, nb=s.nb, m=s.m)
         dcheck = self.blocks[jnp.asarray(s.diag_ids)]
         if not bool(jnp.all(jnp.isfinite(dcheck))):
             raise RuntimeError(
@@ -838,7 +855,8 @@ class SupernodalCholesky:
         Bp = np.zeros((s.n_pad, B.shape[1]))
         Bp[s.emb] = B[s.perm]
         X = _solve_scan_flat(
-            self.blocks, jnp.asarray(s.f_diag), jnp.asarray(s.f_cols),
+            self.blocks, self.diag_inv,
+            jnp.asarray(s.f_diag), jnp.asarray(s.f_cols),
             jnp.asarray(s.f_pan_blk), jnp.asarray(s.f_pan_own),
             jnp.asarray(s.f_pan_row),
             jnp.asarray(Bp.reshape(s.nb, s.m, -1), dtype=default_dtype()),
