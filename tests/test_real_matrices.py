@@ -403,3 +403,36 @@ def test_incomplete_factorization_substitute_strength(alias, ref_kind, A_2):
     assert np.linalg.norm(A @ x - b) < 1e-8 * np.linalg.norm(b)
     it_sub = int(s.get_info()["num_iterations"])
     assert it_sub <= max(4 * it_ref, 30), (it_sub, it_ref)
+
+
+def test_cusolverdn_5cubes_class_battery():
+    """cusolverdn_5cubes (test_linear_solver.cpp:839-903): 1092 dense
+    120×120 Hessian solves through the cuSolverDN alias, err < 1e-8 each,
+    with repeated analyze/factorize/solve reusing the compiled path (the
+    reference pins cuSolver buffer reuse across the battery). The
+    polyfem-data hessian*.txt files are unreachable offline; the stand-in
+    is a deterministic simulated Newton trajectory: slowly varying SPD
+    Hessians H_i = Q D_i Qᵀ + drift, matching the battery's
+    repeated-same-shape character."""
+    import time
+
+    rng = np.random.default_rng(5)
+    n = 120
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    base = np.geomspace(1.0, 1e4, n)
+    s = Solver.create({"solver": "cuSolverDN"}, strict=False)
+    assert s.name() == "cuSolverDN"
+    t0 = time.perf_counter()
+    for i in range(1092):
+        drift = 1.0 + 0.5 * np.sin(2 * np.pi * i / 273.0)
+        D = base * drift + i * 1e-3
+        A = (Q * D) @ Q.T
+        b = rng.standard_normal(n)
+        s.analyze_pattern_dense(A, n)
+        s.factorize_dense(A)
+        x = s.solve(b)
+        err = np.linalg.norm(A @ x - b)
+        assert err < 1e-8, (i, err)
+    # the whole battery must ride ONE compiled factor/solve pair —
+    # per-iteration re-tracing would take minutes, not seconds
+    assert time.perf_counter() - t0 < 120
