@@ -325,10 +325,21 @@ def _extract_dia(Y, cls, offs_arr, deltas, coords, cg_arr):
     indefinitely, and shipping host-built (K, n_c) masks cost ~180 MB of
     tunnel transfer per factorize."""
 
+    R = Y.shape[0]
+
     def body(_, xs):
         off, delta = xs
         idx = jnp.roll(cls, -off)
-        g = jnp.take_along_axis(Y, idx[None, :], axis=0)[0]
+        if R <= 256:
+            # masked row-sum instead of the XLA sublane gather: the gather
+            # runs ~0.13 G lookups/s on TPU, a dominant slice of the fine
+            # level's extraction; at few probe rows the O(R·n_c) compare+
+            # reduce is far cheaper vectorized work
+            sel = (idx[None, :]
+                   == jax.lax.broadcasted_iota(idx.dtype, (R, 1), 0))
+            g = jnp.sum(Y * sel.astype(Y.dtype), axis=0)
+        else:
+            g = jnp.take_along_axis(Y, idx[None, :], axis=0)[0]
         moved = coords + delta[:, None]
         ok = jnp.all((moved >= 0) & (moved < cg_arr[:, None]), axis=0)
         return None, g * ok.astype(g.dtype)
