@@ -436,3 +436,26 @@ def test_cusolverdn_5cubes_class_battery():
     # the whole battery must ride ONE compiled factor/solve pair —
     # per-iteration re-tracing would take minutes, not seconds
     assert time.perf_counter() - t0 < 120
+
+
+def test_dirichlet_solve_spectrum(A_2, tmp_path):
+    """compute_spectrum + saveMarket on dirichlet_solve (reference
+    FEMSolver.cpp:19-54, :254-266): the returned [λ₁, λ₂, λ_{n−1}, λ_n]
+    matches a dense eigensolve of the eliminated operator, and the dumped
+    MatrixMarket file round-trips."""
+    from polysolve_tpu.linear import dirichlet_solve
+
+    A = sp.csr_matrix(A_2)
+    n = A.shape[0]
+    f = np.random.default_rng(9).standard_normal(n)
+    bc = list(range(0, n, 37))
+    s = Solver.create({"solver": "SparseCholesky"}, strict=False)
+    path = str(tmp_path / "dump.mtx")
+    u, spec = dirichlet_solve(s, A, f, bc, compute_spectrum=True,
+                              save_path=path)
+    assert np.allclose(u[bc], f[bc])
+    assert spec.shape == (4,)
+    A_elim = meshgen.matrix_market_load(path)
+    w = np.linalg.eigvalsh(A_elim.toarray())
+    assert np.allclose(spec, [w[0], w[1], w[-2], w[-1]], rtol=1e-6)
+    assert np.all(np.isfinite(u))
