@@ -52,11 +52,14 @@ def _latest_spmv_rate() -> float:
         if os.path.exists(path):
             for line in open(path):
                 m = re.search(r'"Gnnz_per_s": ([0-9.]+)', line)
-                if m and ('"sec": "tile' in line):
+                production = ('"sec": "tile' in line
+                              or '"transpose_mode": "vpu"' in line
+                              or '"diag": "full"' in line)
+                if m and production:
                     best = float(m.group(1))
             if best:
                 return best * 1e9
-    return 14.06e9
+    return 12.44e9
 
 
 SPMV_GNNZ = _latest_spmv_rate()
