@@ -264,13 +264,12 @@ def sec_tr():
              "ns_per_chunk": round(best / K / M.vals.shape[0] * 1e9, 1)})
 
 
-def sec_snl(tile):
-    """Supernodal Cholesky at n=110,592: analyze (vectorized host symbolic),
+def sec_snl(tile, m=48):
+    """Supernodal Cholesky at n=m^3: analyze (vectorized host symbolic),
     repeat-factorize wall, flat solve wall — tile 32 vs 64 sweep
     (VERDICT r3 #4: target >=60 GFLOP/s, refactorize <=2 s, solve <=0.1 s)."""
     from polysolve_tpu.linear.supernodal import SupernodalCholesky
 
-    m = 48
     A = sp.csr_matrix(poisson3d(m) + 0.1 * sp.identity(m ** 3))
     n = A.shape[0]
     s = SupernodalCholesky(tile=tile)
@@ -322,6 +321,8 @@ if __name__ == "__main__":
                 sec_snl(32)
             elif w == "snl64":
                 sec_snl(64)
+            elif w == "snlbig":
+                sec_snl(64, m=64)
         except Exception as e:  # noqa: BLE001
             log({"sec": w, "fatal": repr(e)[:300]})
         print(f"[{w}] done in {time.perf_counter() - t0:.1f}s", flush=True)
