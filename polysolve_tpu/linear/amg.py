@@ -933,7 +933,8 @@ class AMGHierarchy:
             else:
                 # anything still ELL runs tile-ELL on TPU (threshold 4096 —
                 # no dead zone between the dense cap and the tile path)
-                A_dev = _maybe_tile(A_dev, Al, params, dtype)
+                A_dev = _maybe_tile(A_dev, Al, params, dtype,
+                                    fast_reduce=True)
             if smoother == "cheb1":
                 # brackets on the Jacobi-scaled spectrum (AMGCL scale: true)
                 lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
@@ -942,9 +943,11 @@ class AMGHierarchy:
             levels.append(AMGLevel(
                 A=A_dev,
                 P=None if structured else _maybe_tile(
-                    ell_from_scipy(P, dtype=dtype), P, params, dtype),
+                    ell_from_scipy(P, dtype=dtype), P, params, dtype,
+                    fast_reduce=True),
                 R=None if structured else _maybe_tile(
-                    ell_from_scipy(R, dtype=dtype), R, params, dtype),
+                    ell_from_scipy(R, dtype=dtype), R, params, dtype,
+                    fast_reduce=True),
                 theta=jnp.asarray((hi + lo) / 2.0, dtype=dtype),
                 delta=jnp.asarray((hi - lo) / 2.0, dtype=dtype),
                 Dinv=jnp.asarray(1.0 / d, dtype=dtype),
@@ -977,7 +980,7 @@ class AMGHierarchy:
                             timings=timings)
 
 
-def _maybe_tile(dev, A_host, params, dtype):
+def _maybe_tile(dev, A_host, params, dtype, fast_reduce: bool = False):
     """Swap an ELL device operator for the Pallas tile-ELL format on TPU:
     unstructured levels/transfers otherwise run the 0.13 Gnnz/s XLA gather.
     Assumes the caller ordered the fine problem for banded locality
@@ -994,7 +997,12 @@ def _maybe_tile(dev, A_host, params, dtype):
     if mode in (True, "on") or (on_tpu and A_host.shape[0] >= 4096):
         from polysolve_tpu.ops import tile_ell
 
-        return tile_ell.pack(A_host, dtype=dtype)
+        M = tile_ell.pack(A_host, dtype=dtype)
+        # preconditioner-internal operators use the single-pass bf16 reduce
+        # (1.4e-3/matvec) — AMG smoother/transfer applications are O(1e-1)
+        # approximations; the solver-level operator (the facade's A_dev,
+        # fast_reduce=False) keeps the accurate two-pass split
+        return M.with_fast_reduce() if fast_reduce else M
     return dev
 
 

@@ -111,6 +111,11 @@ class TileELLMatrix:
     cr: int = struct.field(pytree_node=False, default=CR_DEFAULT)
     st: int = struct.field(pytree_node=False, default=ST_DEFAULT)
     bs: int = struct.field(pytree_node=False, default=1)
+    # single-pass bf16 dest reduce (1.4e-3/matvec) instead of the two-pass
+    # split (2.6e-6): set for PRECONDITIONER-INTERNAL operators (AMG
+    # smoother/transfer matvecs are O(1e-1) approximations by design) —
+    # solver-level operators keep the accurate reduce
+    fast_reduce: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def dtype(self):
@@ -130,6 +135,9 @@ class TileELLMatrix:
         if _on_tpu():
             return tile_ell_matvec_pallas(self, x)
         return tile_ell_matvec_ref(self, x)
+
+    def with_fast_reduce(self) -> "TileELLMatrix":
+        return self.replace(fast_reduce=True)
 
     def rmatvec(self, y: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError(
@@ -347,18 +355,20 @@ def tile_ell_matvec_ref(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 def tile_ell_matvec_pallas(A: TileELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     x2d = _pad_x2d(A, x)
     return _tile_ell_pallas(A.vals, A.r8, A.q8t, A.dt8, A.wb, A.super_of,
-                            x2d, A.n_super, A.cr, A.st,
-                            A.bs)[: A.shape[0]]
+                            x2d, A.n_super, A.cr, A.st, A.bs,
+                            reduce_mode=("fast" if A.fast_reduce
+                                         else "split2"))[: A.shape[0]]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_super", "CR", "ST", "BS",
                                     "stream_only", "window_mode", "diag",
-                                    "transpose_mode"))
+                                    "transpose_mode", "reduce_mode"))
 def _tile_ell_pallas(vals, r8, q8t, dt8, wb, super_of, x2d, n_super, CR, ST,
                      BS: int = 1, stream_only: bool = False,
                      window_mode: str = "inline", diag: str = "full",
-                     transpose_mode: str = "vpu"):
+                     transpose_mode: str = "vpu",
+                     reduce_mode: str = "split2"):
     """window_mode: "inline" waits for each superchunk's x-window DMA on
     the critical path; "dbuf" double-buffers it (start window c+1 before
     computing superchunk c). MEASURED EQUAL on the TPU (11.47 vs 11.55
@@ -486,6 +496,10 @@ def _tile_ell_pallas(vals, r8, q8t, dt8, wb, super_of, x2d, n_super, CR, ST,
         # into (high, low) bf16 parts gives ~4e-6 accuracy for one extra
         # MXU pass — Precision.HIGHEST (which also splits the exact
         # one-hot) measured +115 ns/chunk and cost 14.1 → 11.4 Gnnz/s.
+        if reduce_mode == "fast":
+            # preconditioner-internal operators: one bf16 pass (1.4e-3)
+            y_ref[...] += jnp.dot(ohc, p, preferred_element_type=dtype)
+            return
         pb = p.astype(jnp.bfloat16).astype(dtype)
         plo = p - pb
         y_ref[...] += (jnp.dot(ohc, pb, preferred_element_type=dtype)
