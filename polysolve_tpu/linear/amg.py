@@ -540,7 +540,6 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
                            "the probe cap — host fallback", n_cls)
         return None, None
 
-    n_f = int(np.prod(grid))
     t0 = _time.perf_counter()
     if plan is not None and not plan.dense and plan.grid == grid:
         offs_pad, deltas_pad = plan.offs_pad, plan.deltas_pad

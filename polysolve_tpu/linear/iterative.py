@@ -75,15 +75,18 @@ def _run_krylov_multi(driver: str, A_dev, pstate, B, X0, tol, max_iter,
     return jax.vmap(one, in_axes=(1, 1), out_axes=out_axes)(B, X0)
 
 
-def _df64_residual_impl(is_ell, A_dev, b_hi, b_lo, x_hi, x_lo):
-    """r = b − A·x in df64 as one device program."""
+def _df64_residual_impl(is_ell, A_dev, b_hi, b_lo, x_hi, x_lo,
+                        vals_lo=None):
+    """r = b − A·x in df64 as one device program. ``vals_lo`` is the fp32
+    value-representation correction plane of A (df64.ell_matvec_df)."""
     from polysolve_tpu.ops import df64 as df
 
     x_df = df.DF(x_hi, x_lo)
     if is_ell:
-        Ax = df.ell_matvec_df(A_dev.vals, A_dev.cols, x_df)
+        Ax = df.ell_matvec_df(A_dev.vals, A_dev.cols, x_df, vals_lo=vals_lo)
     else:
-        Ax = df.dia_matvec_df(A_dev.vals, A_dev.offsets, x_df)
+        Ax = df.dia_matvec_df(A_dev.vals, A_dev.offsets, x_df,
+                              vals_lo=vals_lo)
     r = df.sub(df.DF(b_hi, b_lo), Ax)
     return r.hi, r.lo
 
@@ -93,9 +96,13 @@ _df64_residual = functools.partial(jax.jit, static_argnames=("is_ell",))(
 
 
 @functools.partial(jax.jit, static_argnames=("is_ell",))
-def _df64_residual_multi(is_ell, A_dev, b_hi, b_lo, x_hi, x_lo):
+def _df64_residual_multi(is_ell, A_dev, b_hi, b_lo, x_hi, x_lo,
+                         vals_lo=None):
     """Batched (n, k) df64 residual — vmapped over the column axis."""
-    one = functools.partial(_df64_residual_impl, is_ell)
+    def one(Ad, bh, bl, xh, xl):
+        return _df64_residual_impl(is_ell, Ad, bh, bl, xh, xl,
+                                   vals_lo=vals_lo)
+
     return jax.vmap(one, in_axes=(None, 1, 1, 1, 1), out_axes=(1, 1))(
         A_dev, b_hi, b_lo, x_hi, x_lo)
 
@@ -104,7 +111,7 @@ def _df64_residual_multi(is_ell, A_dev, b_hi, b_lo, x_hi, x_lo):
                                              "max_outer"))
 def _run_krylov_df64(driver, is_ell, A_dev, A_res, pstate, b_hi, b_lo, x0,
                      tol, inner_tol, max_iter, max_outer: int = 6,
-                     restart: int = 30):
+                     restart: int = 30, vals_lo=None):
     """The WHOLE mixed-precision refined solve as ONE device program: df64
     residual → fp32 inner Krylov → df64 solution update, looped on device.
 
@@ -126,7 +133,8 @@ def _run_krylov_df64(driver, is_ell, A_dev, A_res, pstate, b_hi, b_lo, x0,
 
     x_hi = x0.astype(b_hi.dtype)
     x_lo = jnp.zeros_like(x_hi)
-    r_hi, r_lo = _df64_residual_impl(is_ell, A_res, b_hi, b_lo, x_hi, x_lo)
+    r_hi, r_lo = _df64_residual_impl(is_ell, A_res, b_hi, b_lo, x_hi, x_lo,
+                                     vals_lo=vals_lo)
 
     def cond(s):
         x_hi, x_lo, r_hi, r_lo, it, k = s
@@ -141,7 +149,7 @@ def _run_krylov_df64(driver, is_ell, A_dev, A_res, pstate, b_hi, b_lo, x0,
         d = jnp.where(jnp.isfinite(res.x), res.x, 0.0)
         xn = df.add(df.DF(x_hi, x_lo), df.DF(d, jnp.zeros_like(d)))
         r2_hi, r2_lo = _df64_residual_impl(is_ell, A_res, b_hi, b_lo,
-                                           xn.hi, xn.lo)
+                                           xn.hi, xn.lo, vals_lo=vals_lo)
         return (xn.hi, xn.lo, r2_hi, r2_lo, it + res.iterations, k + 1)
 
     x_hi, x_lo, r_hi, r_lo, it, k = lax.while_loop(
@@ -290,12 +298,47 @@ class KrylovSolver(Solver):
                 else ops.to_device_matrix(A_work, prefer="ell")
         else:
             self.A_dev = self._shard_rows(dev)
+        self._build_res_lo(A_work)
         self.pstate = self._shard_rows(preconditioners.make(
             pname, A_work, self.A_dev,
             params=self._precond_params(pname),
             block_size=self.block_size, nullspace=self.nullspace,
             logger=self.logger,
         ))
+
+    def _build_res_lo(self, A_work: sp.csr_matrix) -> None:
+        """fp32 VALUE-representation correction plane for df64 residuals
+        (lo = A_f64 − fp32(A_f64)), aligned with the residual operator's
+        layout (built by the SAME packer from the SAME pattern). Without it
+        the refined solve floors at eps32·‖A‖-grade residuals on matrices
+        whose values are not fp32-exact — measured 6e-5 stall on
+        unstructured elasticity vs 3e-12 with the plane (Poisson's integer
+        stencils are exact, masking this until round 4)."""
+        from polysolve_tpu.types import DIAMatrix, ELLMatrix, ell_from_scipy
+
+        self.A_res_lo = None
+        if default_dtype() != jnp.float32:
+            return
+        A_res = self.A_res if self.A_res is not None else self.A_dev
+        data64 = A_work.data.astype(np.float64)
+        lo_data = data64 - data64.astype(np.float32).astype(np.float64)
+        if not np.any(lo_data):
+            return                      # fp32-exact values: plane is zero
+        A_lo = sp.csr_matrix((lo_data, A_work.indices, A_work.indptr),
+                             shape=A_work.shape)
+        if isinstance(A_res, ELLMatrix):
+            lo_dev = ell_from_scipy(A_lo, dtype=jnp.float32)
+            # same pattern + same packer ⇒ identical slot layout
+            self.A_res_lo = lo_dev.vals
+        elif isinstance(A_res, DIAMatrix):
+            K = len(A_res.offsets)
+            n = A_lo.shape[0]
+            vals_lo = np.zeros((K, n), dtype=np.float32)
+            for k, off in enumerate(A_res.offsets):
+                dlo = A_lo.diagonal(off)
+                i0 = max(0, -off)
+                vals_lo[k, i0:i0 + len(dlo)] = dlo
+            self.A_res_lo = jnp.asarray(vals_lo)
 
     def _use_tile_ell(self) -> bool:
         import jax
@@ -404,6 +447,7 @@ class KrylovSolver(Solver):
         max_outer = int(self.params.get("max_refine_iter", 6))
         k = B64.shape[1]
         A_res = self.A_res if self.A_res is not None else self.A_dev
+        vals_lo = getattr(self, "A_res_lo", None)
         if k == 1:
             b_df = df.from_f64(B64[:, 0])
             x_hi, x_lo, it, err, conv = _run_krylov_df64(
@@ -415,6 +459,7 @@ class KrylovSolver(Solver):
                 jnp.asarray(inner_tol, dtype=dtype),
                 jnp.int32(self._max_iter()), max_outer=max_outer,
                 restart=int(self.params.get("restart", 30)),
+                vals_lo=vals_lo,
             )
             X = (np.asarray(x_hi, np.float64)
                  + np.asarray(x_lo, np.float64))[:, None]
@@ -432,7 +477,7 @@ class KrylovSolver(Solver):
             x_df = df.from_f64(X64 if k > 1 else X64[:, 0])
             residual = _df64_residual if k == 1 else _df64_residual_multi
             r_hi, r_lo = residual(is_ell, A_res, b_df.hi, b_df.lo,
-                                  x_df.hi, x_df.lo)
+                                  x_df.hi, x_df.lo, vals_lo=vals_lo)
             r64 = (np.asarray(r_hi, np.float64)
                    + np.asarray(r_lo, np.float64)).reshape(B64.shape)
             err = np.linalg.norm(r64, axis=0) / bnorm
@@ -554,6 +599,7 @@ class LSCGSolver(KrylovSolver):
         # least-squares path keeps scalar ELL (needs rmatvec)
         self.A_host = sp.csr_matrix(A)
         self.A_dev = ops.to_device_matrix(self.A_host, prefer="ell")
+        self._build_res_lo(self.A_host)
         pname = "LSJacobi" if self.precond_name in ("Jacobi", "LSJacobi") else self.precond_name
         self.pstate = preconditioners.make(
             pname, self.A_host, self.A_dev, params=self._precond_params(pname),
@@ -688,6 +734,7 @@ class AMGSolver(KrylovSolver):
 
         if isinstance(self.A_dev, TileELLMatrix):
             self.A_res = ops.to_device_matrix(A_work, prefer="ell")
+        self._build_res_lo(A_work)
         # nested "AMG" preconditioner block first (spec-injected defaults),
         # then the solver's own flat params — the user's `params["AMG"]`
         # subtree — win (they carry the explicit configuration)

@@ -154,12 +154,19 @@ def axpy(alpha: DF, x: DF, y: DF) -> DF:
                       jnp.broadcast_to(alpha.lo, x.hi.shape)), x), y)
 
 
-def ell_matvec_df(vals_hi, cols, x: DF) -> DF:
-    """ELL SpMV in df64: A (fp32 values) times df64 x."""
+def ell_matvec_df(vals_hi, cols, x: DF, vals_lo=None) -> DF:
+    """ELL SpMV in df64: A times df64 x. ``vals_lo`` carries the fp32
+    VALUE-representation error of A (lo = A_f64 − fp32(A_f64)): without it
+    the residual floor is eps32·‖A‖·‖x‖ — exactly where fp32-inexact
+    matrices (elasticity) stalled the refined solve at ~6e-5 relative
+    (Poisson's integer stencils are fp32-exact, which is why the
+    structured path reached 2.5e-12 without this)."""
     gx_hi = x.hi[cols]
     gx_lo = x.lo[cols]
     p, e = two_prod(vals_hi, gx_hi)
     e = e + vals_hi * gx_lo
+    if vals_lo is not None:
+        e = e + vals_lo * (gx_hi + gx_lo)
     # row-sum with compensation
     hi = jnp.sum(p, axis=1)
     err = jnp.sum(e, axis=1) + _rowsum_error(p)
@@ -184,8 +191,9 @@ def _rowsum_error(p: jnp.ndarray) -> jnp.ndarray:
     return (s - jnp.sum(p, axis=1)) + c
 
 
-def dia_matvec_df(vals_hi, offsets, x: DF) -> DF:
-    """DIA SpMV in df64 (vals fp32 diag-major (K, n), x df64)."""
+def dia_matvec_df(vals_hi, offsets, x: DF, vals_lo=None) -> DF:
+    """DIA SpMV in df64 (vals fp32 diag-major (K, n), x df64).
+    ``vals_lo``: fp32 value-representation correction (see ell_matvec_df)."""
     n = vals_hi.shape[1]
     L = max(0, -min(offsets))
     R = max(0, max(offsets))
@@ -197,5 +205,7 @@ def dia_matvec_df(vals_hi, offsets, x: DF) -> DF:
         sl = jax.lax.slice_in_dim(xl, L + off, L + off + n)
         p, e = two_prod(vals_hi[k], sh)
         e = e + vals_hi[k] * sl
+        if vals_lo is not None:
+            e = e + vals_lo[k] * (sh + sl)
         acc = add(acc, DF(p, e))
     return acc

@@ -87,3 +87,47 @@ def test_mixed_precision_refinement_hits_1e10():
         assert rel < 1e-10, rel
     finally:
         jax.config.update("jax_enable_x64", x64_was)
+
+
+def test_df64_matvec_value_correction_plane():
+    """The fp32 VALUE-representation correction plane (round 4): without
+    ``vals_lo`` the df64 SpMV error floors at eps32·‖A‖·‖x‖ on matrices
+    whose values are not fp32-exact (every real FEM matrix — measured as a
+    6e-5 residual stall on unstructured elasticity); with the plane it is
+    df64-grade. Poisson's integer stencils are fp32-exact, which masked
+    this until round 4."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from polysolve_tpu.ops import df64 as df
+    from polysolve_tpu.types import ell_from_scipy
+
+    rng = np.random.default_rng(11)
+    n = 400
+    A = sp.random(n, n, density=0.02, random_state=3, format="csr")
+    A = sp.csr_matrix(A + A.T + sp.diags(np.full(n, 5.0)))
+    A.data = A.data * np.pi          # guarantee fp32-inexact values
+    E = ell_from_scipy(A, dtype=jnp.float32)
+    data64 = A.data.astype(np.float64)
+    A_lo = sp.csr_matrix(
+        (data64 - data64.astype(np.float32).astype(np.float64),
+         A.indices, A.indptr), shape=A.shape)
+    E_lo = ell_from_scipy(A_lo, dtype=jnp.float32)
+    x64 = rng.standard_normal(n)
+    x_df = df.from_f64(x64)
+    x_df = df.DF(jnp.asarray(np.asarray(x_df.hi), jnp.float32),
+                 jnp.asarray(np.asarray(x_df.lo), jnp.float32))
+    y_exact = A @ x64
+
+    def err(vals_lo):
+        y = df.ell_matvec_df(E.vals, E.cols, x_df, vals_lo=vals_lo)
+        y64 = np.asarray(y.hi, np.float64) + np.asarray(y.lo, np.float64)
+        return np.linalg.norm(y64 - y_exact) / np.linalg.norm(y_exact)
+
+    e_without = err(None)
+    e_with = err(E_lo.vals)
+    assert e_without > 1e-9          # the fp32-representation floor
+    assert e_with < 1e-12, e_with    # df64-grade with the plane
+    assert e_with < e_without / 100
