@@ -448,7 +448,19 @@ class KrylovSolver(Solver):
         k = B64.shape[1]
         A_res = self.A_res if self.A_res is not None else self.A_dev
         vals_lo = getattr(self, "A_res_lo", None)
-        if k == 1:
+        # KNOWN TOOLCHAIN FAULT (round 4, axon v5e): the single fused
+        # refined program (df64 outer while_loop + CG + AMG cycle with
+        # tile-ELL kernels) crashes the TPU worker at ~1M rows — each
+        # constituent program (CG+cycle without the df64 loop; CG+df64
+        # without the cycle; the cycle alone) runs fine, so large
+        # unstructured AMG routes through the host-sweep loop below, whose
+        # per-sweep programs are exactly the proven ones.
+        from polysolve_tpu.linear.amg import AMGState
+        from polysolve_tpu.ops.tile_ell import TileELLMatrix as _TEM
+
+        fused_ok = not (isinstance(self.A_dev, _TEM)
+                        and isinstance(self.pstate, AMGState))
+        if k == 1 and fused_ok:
             b_df = df.from_f64(B64[:, 0])
             x_hi, x_lo, it, err, conv = _run_krylov_df64(
                 self.driver, isinstance(A_res, ELLMatrix),
