@@ -862,7 +862,11 @@ class AMGHierarchy:
                 eps_l = eps_strong * (0.5 ** len(levels))
                 agg, n_agg = _aggregate(Al, eps_l,
                                         block_size if len(levels) == 0 else 1)
-            if n_agg >= Al.shape[0]:  # no coarsening progress
+            if n_agg > 0.8 * Al.shape[0]:
+                # degenerate coarsening (mostly singleton aggregates): stop
+                # the hierarchy here rather than stacking dead levels — the
+                # 1M-row block-3 elasticity run produced 7490→6944→6863
+                # tail levels that cost cycle time and helped nothing
                 break
             aggregates.append((agg, n_agg))
             probe_plans.append(None)
