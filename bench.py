@@ -83,12 +83,15 @@ def main():
         return jnp.vdot(a[:128], a[:128])
 
     float(triad(xs, ys))  # compile
-    tb = 1e9
-    for _ in range(2):
+    tb_samples = []
+    for _ in range(3):
         t0 = time.perf_counter()
         float(triad(xs, ys))
-        tb = min(tb, time.perf_counter() - t0)
+        tb_samples.append(time.perf_counter() - t0)
+    tb = float(np.median(tb_samples))
     measured_gbps = K_CHAIN * 3 * 4 * ns / tb / 1e9
+    triad_spread = [round(K_CHAIN * 3 * 4 * ns / t / 1e9, 1)
+                    for t in sorted(tb_samples)]
     del xs, ys
 
     def one_mv(vals, v):
@@ -106,16 +109,22 @@ def main():
     t0 = time.perf_counter()
     s = float(chain(Ad.vals, x))
     compile_s = time.perf_counter() - t0
-    best = 1e9
-    for _ in range(3):
+    # median of >=5 timed repeats with min/max spread (VERDICT r4 weak #2:
+    # one sample per round made a 4-round slide unattributable — kernel
+    # regression vs platform noise)
+    samples = []
+    for _ in range(5):
         t0 = time.perf_counter()
         s = float(chain(Ad.vals, x))
-        best = min(best, time.perf_counter() - t0)
+        samples.append(time.perf_counter() - t0)
+    med = float(np.median(samples))
 
-    nnz_per_s = nnz * K_CHAIN / best
+    nnz_per_s = nnz * K_CHAIN / med
+    spmv_spread = [round(nnz * K_CHAIN / t / 1e9, 2)
+                   for t in sorted(samples)]
     n_tiles = (n // tile) if tile else 1
     bytes_per_mv = 4.0 * (n * K + n + n_tiles * (L + R) + n)
-    eff_gbps = bytes_per_mv * K_CHAIN / best / 1e9
+    eff_gbps = bytes_per_mv * K_CHAIN / med / 1e9
     fraction_measured = eff_gbps / measured_gbps
     fraction_paper = eff_gbps / HBM_GBPS
 
@@ -129,7 +138,11 @@ def main():
         "kernel": "pallas_dia" if (on_tpu and tile) else "xla_fused_dia",
         "tile": tile,
         "compile_s": round(compile_s, 1),
-        "run_ms_100mv": round(best * 1e3, 1),
+        "run_ms_100mv": round(med * 1e3, 1),
+        "spread": {"spmv_Gnnz_s_best_to_worst": spmv_spread,
+                   "triad_GBps_best_to_worst": triad_spread,
+                   "n_samples": len(samples),
+                   "stat": "median"},
         "platform": jax.default_backend(),
     }
     # secondary benches never kill (or hang) the primary metric: the remote
@@ -258,6 +271,12 @@ def _bench_supernodal():
     # (direct.py picks 64 for n >= 32768: 251.7 vs 40.5 GFLOP/s measured)
     t0 = time.perf_counter()
     sym = s.analyze(A)
+    t_an_cold = time.perf_counter() - t0     # includes native-lib autobuild
+    # warm analyze on a FRESH instance: the steady-state symbolic cost
+    # (VERDICT r4 weak #5: the ambiguous 11.7 s vs 1.8-2.1 s split)
+    s2 = SupernodalCholesky(tile=64)
+    t0 = time.perf_counter()
+    s2.analyze(A)
     t_an = time.perf_counter() - t0
     t0 = time.perf_counter()
     s.factorize(A)                           # compile + first numeric
@@ -279,7 +298,8 @@ def _bench_supernodal():
         "n": n, "nb": sym.nb, "steps": int(sym.f_diag.shape[0]),
         "tile": s.tile,
         "flops_G": round(sym.flops / 1e9, 1),
-        "analyze_s": round(t_an, 1),
+        "analyze_cold_s": round(t_an_cold, 1),
+        "analyze_warm_s": round(t_an, 1),
         "first_factor_s": round(t_first, 1),
         "refactorize_s": round(best, 2),
         "GFLOPs": round(sym.flops / 1e9 / best, 1),

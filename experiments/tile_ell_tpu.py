@@ -38,22 +38,37 @@ def log(res):
     print(res, flush=True)
 
 
-def build_matrix(nx):
-    cache = f"/root/repo/experiments/elast3d_{nx}.npz"
+def build_matrix(nx, with_pts=False):
+    """3-D jittered-Delaunay elasticity stiffness, NODE-blocked RCM order.
+    v2 fixed the original cache's DOF-level RCM (broke 1.6% of the 3-dof
+    node triples and scrambled component order — fatal for block_size=3
+    condensation); v3 adds meshgen's default cell-quality floor (raw
+    jittered Delaunay kept 1e5×-stiffness slivers no real mesher emits).
+    ``with_pts`` also returns the node coordinates in the permuted order
+    (for RBM near-nullspace vectors)."""
+    cache = f"/root/repo/experiments/elast3d_{nx}_v3.npz"
     if os.path.exists(cache):
         d = np.load(cache)
-        return sp.csr_matrix((d["data"], d["indices"], d["indptr"]),
-                             shape=tuple(d["shape"]))
+        A = sp.csr_matrix((d["data"], d["indices"], d["indptr"]),
+                          shape=tuple(d["shape"]))
+        return (A, d["pts"]) if with_pts else A
     from polysolve_tpu import meshgen
 
     pts, cells = meshgen.delaunay_mesh(nx, nx, nx, seed=7)
     A = meshgen.elasticity_stiffness(pts, cells)
     A = sp.csr_matrix(A)
-    perm = reverse_cuthill_mckee(A, symmetric_mode=True)
+    dof_perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    # node-blocked: nodes ordered by first appearance in the dof RCM,
+    # components kept in (x, y, z) order within each node
+    nodes = dof_perm // 3
+    _, first = np.unique(nodes, return_index=True)
+    node_order = nodes[np.sort(first)]
+    perm = (node_order[:, None] * 3 + np.arange(3)[None, :]).ravel()
     A = A[perm][:, perm].tocsr()
+    pts = np.asarray(pts)[node_order]
     np.savez(cache, data=A.data, indices=A.indices, indptr=A.indptr,
-             shape=np.asarray(A.shape))
-    return A
+             shape=np.asarray(A.shape), pts=pts)
+    return (A, pts) if with_pts else A
 
 
 def main():

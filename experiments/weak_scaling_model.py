@@ -56,7 +56,10 @@ def _latest_spmv_rate() -> float:
                               or '"transpose_mode": "vpu"' in line
                               or '"diag": "full"' in line)
                 if m and production:
-                    best = float(m.group(1))
+                    # max over production rows: a trailing diagnostic or a
+                    # slower rerun must not silently become the constant
+                    # (ADVICE r4 low #3)
+                    best = max(best or 0.0, float(m.group(1)))
             if best:
                 return best * 1e9
     return 12.44e9

@@ -755,6 +755,7 @@ class AMGHierarchy:
         timings: Dict[str, float] = {}
         total_nnz = A0.nnz
         Al, Bl = A0, B
+        blk = max(int(block_size), 1)  # current level's block width
         while Al.shape[0] > coarse_enough and len(levels) < max_levels - 1:
             if isinstance(Al, _DenseCarrier):
                 # rare: a dense-probed level that still isn't coarse enough
@@ -850,24 +851,44 @@ class AMGHierarchy:
 
             if isinstance(Al, _DiaCarrier):
                 Al = Al.tocsr()
+            # ratio mode: eps halves per level (AMGCL's smoothed_aggregation
+            # rule) — coarse Galerkin stencils have relatively weaker
+            # couplings, a fixed threshold degenerates to singleton
+            # aggregates. rowmax mode is self-normalizing per row: keep eps.
+            strength_mode = str(params.get("strength", "ratio"))
+            eps_l = (eps_strong * (0.5 ** len(levels))
+                     if strength_mode == "ratio" else eps_strong)
             if structured:
                 agg = _box_aggregate(grid)
                 n_agg = int(np.prod([g // 2 for g in grid]))
             elif reuse_aggregates is not None and len(levels) < len(reuse_aggregates):
                 agg, n_agg = reuse_aggregates[len(levels)]
             else:
-                # eps halves per level (AMGCL's smoothed_aggregation rule):
-                # coarse Galerkin stencils have relatively weaker couplings,
-                # a fixed threshold degenerates to singleton aggregates
-                eps_l = eps_strong * (0.5 ** len(levels))
-                agg, n_agg = _aggregate(Al, eps_l,
-                                        block_size if len(levels) == 0 else 1)
+                # blk-wide block aggregation at EVERY level — coarse levels
+                # of a block system keep an exact k-wide block structure
+                # (k nullspace columns per aggregate); scalar aggregation on
+                # them degenerates (round-4 stall: 85,905→13,848→7,490→
+                # 6,944→6,863 at 1M-row elasticity)
+                agg, n_agg = _aggregate(Al, eps_l, blk, mode=strength_mode)
             if n_agg > 0.8 * Al.shape[0]:
                 # degenerate coarsening (mostly singleton aggregates): stop
                 # the hierarchy here rather than stacking dead levels — the
                 # 1M-row block-3 elasticity run produced 7490→6944→6863
-                # tail levels that cost cycle time and helped nothing
-                break
+                # tail levels that cost cycle time and helped nothing.
+                # ONLY break when the level is small enough to densely
+                # invert (ADVICE r4 medium: breaking at a large Al would
+                # fall through to an O(n²) coarse_inv densification/OOM);
+                # otherwise accept slow-but-real progress, and raise on
+                # true no-progress stalls instead of densifying.
+                if Al.shape[0] <= max(4 * coarse_enough,
+                                      int(params.get("dense_level", 4096))):
+                    break
+                if n_agg >= Al.shape[0]:
+                    raise RuntimeError(
+                        f"AMG coarsening stalled at n={Al.shape[0]} "
+                        f"(n_agg={n_agg}): the strength graph is empty at "
+                        "this level. Lower eps_strong or pass a nullspace/"
+                        "block_size matching the PDE system.")
             aggregates.append((agg, n_agg))
             probe_plans.append(None)
             t_host0 = _time.perf_counter()
@@ -880,9 +901,34 @@ class AMGHierarchy:
             DA = Al.copy()
             DA.data = DA.data / np.repeat(d, np.diff(Al.indptr))
             rho_da = _spectral_radius_host(DA)
-            P_tent, Bc = _tentative_prolongator(agg, n_agg, Bl)
-            P, w_used = _smooth_prolongator(Al, P_tent, omega, rho_da=rho_da,
-                                            DA=DA)
+            P_tent, Bc, uniform = _tentative_prolongator(agg, n_agg, Bl)
+            if structured:
+                P, w_used = _smooth_prolongator(Al, P_tent, omega,
+                                                rho_da=rho_da, DA=DA)
+            elif not bool(params.get("smooth_P", True)):
+                # plain (unsmoothed) aggregation: P = P_tent — more robust
+                # on strongly heterogeneous operators (AMGCL's aggregation
+                # coarsening choice)
+                P, w_used = sp.csr_matrix(P_tent), 0.0
+            elif bool(params.get("filter_smooth", True)):
+                # smooth through the strength-FILTERED operator: weak
+                # couplings lumped onto the (block-)diagonal. Unfiltered
+                # smoothing densifies coarse stencils until every pair is
+                # weak relative to the diagonal → the coarsening stall.
+                Af = _filtered_matrix(Al, eps_l, blk, mode=strength_mode)
+                df = Af.diagonal()
+                df = np.where(df != 0, df, 1.0)
+                DAf = Af.copy()
+                DAf.data = DAf.data / np.repeat(df, np.diff(Af.indptr))
+                rho_f = _spectral_radius_host(DAf)
+                P, w_used = _smooth_prolongator(Al, P_tent, omega,
+                                                rho_da=rho_f, DA=DAf)
+            else:
+                P, w_used = _smooth_prolongator(Al, P_tent, omega,
+                                                rho_da=rho_da, DA=DA)
+            # coarse block width for the next level's aggregation: exact
+            # k-wide blocks iff every aggregate kept all k columns
+            blk = Bc.shape[1] if (uniform and not structured) else 1
             R = native.csr_transpose(P)
             if R is None:
                 R = sp.csr_matrix(P.T)
@@ -1036,6 +1082,66 @@ def _strength_graph(A: sp.csr_matrix, eps: float) -> sp.csr_matrix:
     return S.maximum(S.T)  # symmetrize
 
 
+def _filtered_matrix(A: sp.csr_matrix, eps: float,
+                     block_size: int = 1,
+                     mode: str = "ratio") -> sp.csr_matrix:
+    """Vaněk strength-filtered matrix for prolongator smoothing: weak
+    off-(block-)diagonal entries are dropped and lumped onto the (block)
+    diagonal, preserving the operator's action on per-component constant
+    vectors (A_f·1_c = A·1_c). Smoothing P_tent with the UNfiltered D⁻¹A
+    spreads the prolongator across weak couplings — coarse stencils densify,
+    every node pair turns weak relative to the grown diagonal, and
+    aggregation stalls (the round-4 block-3 elasticity failure). AMGCL
+    applies the same filter before smoothing (smoothed_aggregation's
+    eps_strong filtering; reference wrapper AMGCL.cpp:106-128)."""
+    n = A.shape[0]
+    C = sp.coo_matrix(A)
+    bs = block_size
+    if bs > 1:
+        nb = n // bs
+        br = (C.row // bs).astype(np.int64)
+        bc = (C.col // bs).astype(np.int64)
+        An = sp.csr_matrix((np.abs(C.data), (br, bc)), shape=(nb, nb))
+        Anc = An.tocoo()  # canonical → (row, col)-sorted keys
+        noff = Anc.row != Anc.col
+        if mode == "rowmax":
+            M = sp.csr_matrix((Anc.data[noff],
+                               (Anc.row[noff], Anc.col[noff])),
+                              shape=(nb, nb))
+            rm = np.asarray(M.max(axis=1).todense()).ravel()
+            strong_flag = noff & (Anc.data >= eps * np.maximum(
+                np.minimum(rm[Anc.row], rm[Anc.col]), 1e-300))
+        else:
+            dn = An.diagonal()
+            dn = np.where(dn > 0, dn, 1.0)
+            strong_flag = noff & (
+                Anc.data >= eps * np.sqrt(dn[Anc.row] * dn[Anc.col]))
+        keys = Anc.row.astype(np.int64) * nb + Anc.col
+        idx = np.searchsorted(keys, br * nb + bc)
+        keep = strong_flag[idx] | (br == bc)
+    else:
+        absd = np.abs(C.data)
+        if mode == "rowmax":
+            off = C.row != C.col
+            M = sp.csr_matrix((absd[off], (C.row[off], C.col[off])),
+                              shape=A.shape)
+            rm = np.asarray(M.max(axis=1).todense()).ravel()
+            keep = (C.row == C.col) | (absd >= eps * np.maximum(
+                np.minimum(rm[C.row], rm[C.col]), 1e-300))
+        else:
+            d = np.abs(A.diagonal())
+            d = np.where(d > 0, d, 1.0)
+            keep = (C.row == C.col) | (
+                absd >= eps * np.sqrt(d[C.row] * d[C.col]))
+    # lump dropped entries onto the (block-)diagonal: entry (i, j) moves to
+    # column block_of(i)*bs + (j % bs) — for bs=1 simply to (i, i)
+    new_col = np.where(keep, C.col,
+                       (C.row // bs) * bs + (C.col % bs))
+    Af = sp.csr_matrix((C.data, (C.row, new_col)), shape=A.shape)
+    Af.sum_duplicates()
+    return Af
+
+
 def _row_max(S: sp.csr_matrix, values: np.ndarray, empty: float) -> np.ndarray:
     """out[i] = max over S-neighbors j of values[j] (empty rows → ``empty``)."""
     n = S.shape[0]
@@ -1048,31 +1154,60 @@ def _row_max(S: sp.csr_matrix, values: np.ndarray, empty: float) -> np.ndarray:
     return out
 
 
-def _aggregate(A: sp.csr_matrix, eps: float, block_size: int = 1):
+def _rowmax_strength(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """Row-max-relative strength (classical RS-style): keep |a_ij| ≥
+    θ·max_k≠i|a_ik|, symmetrized by OR. Self-normalizing per row — immune to
+    the diagonal-growth stall that empties the Vaněk √(a_ii·a_jj) test on
+    strongly heterogeneous coarse operators (every non-isolated node keeps
+    its strongest neighbor)."""
+    C = sp.coo_matrix(A)
+    off = C.row != C.col
+    M = sp.csr_matrix((np.abs(C.data[off]), (C.row[off], C.col[off])),
+                      shape=A.shape)
+    rowmax = np.asarray(M.max(axis=1).todense()).ravel()
+    thr = theta * rowmax
+    Mc = M.tocoo()
+    keep = Mc.data >= np.maximum(thr[Mc.row], 1e-300)
+    S = sp.csr_matrix((Mc.data[keep], (Mc.row[keep], Mc.col[keep])),
+                      shape=A.shape)
+    return S.maximum(S.T)
+
+
+def _aggregate(A: sp.csr_matrix, eps: float, block_size: int = 1,
+               mode: str = "ratio"):
     """MIS-based greedy aggregation (Luby-style, vectorized — the parallel
     stand-in for Vaněk's sequential greedy pass; quality is comparable and the
     construction is O(nnz·rounds) numpy work, C++-extension ready).
 
     With ``block_size`` > 1, aggregation runs on the condensed node graph
-    (b×b blocks collapsed — the reference's BSR adjacency, BSRAdjacency.cu)."""
+    (b×b blocks collapsed — the reference's BSR adjacency, BSRAdjacency.cu).
+    ``mode`` picks the strength measure: "ratio" = Vaněk |a_ij| ≥
+    ε√(a_ii·a_jj); "rowmax" = row-max-relative (see _rowmax_strength)."""
     n = A.shape[0]
     if block_size > 1:
         nb = n // block_size
         C = sp.coo_matrix(A)
         br, bc = C.row // block_size, C.col // block_size
         An = sp.csr_matrix((np.abs(C.data), (br, bc)), shape=(nb, nb))
-        agg_nodes, n_agg = _aggregate(An, eps, 1)
+        agg_nodes, n_agg = _aggregate(An, eps, 1, mode=mode)
         return np.repeat(agg_nodes, block_size), n_agg
 
     # native Vaněk greedy aggregation when available (cpp/host_kernels.cpp;
-    # sequential but C++-fast — the quality reference); numpy MIS fallback
+    # sequential but C++-fast — the quality reference); numpy MIS fallback.
+    # rowmax mode pre-filters to the strong graph and aggregates it with
+    # eps=0 (the native strong() test passes every retained edge).
     from polysolve_tpu import native
 
-    nat = native.greedy_aggregate(A, eps)
-    if nat is not None:
-        return nat
-
-    S = _strength_graph(A, eps)
+    if mode == "rowmax":
+        S = _rowmax_strength(A, eps)
+        nat = native.greedy_aggregate(S, 0.0)
+        if nat is not None:
+            return nat
+    else:
+        nat = native.greedy_aggregate(A, eps)
+        if nat is not None:
+            return nat
+        S = _strength_graph(A, eps)
     rng = np.random.default_rng(12345)
     pri = rng.random(n)
     state = np.zeros(n, dtype=np.int8)  # 0 unknown, 1 root, 2 covered
@@ -1126,7 +1261,13 @@ def _aggregate(A: sp.csr_matrix, eps: float, block_size: int = 1):
 
 def _tentative_prolongator(agg: np.ndarray, n_agg: int, B: np.ndarray):
     """QR-localized tentative P: columns of the near-nullspace restricted to
-    each aggregate, orthonormalized; returns (P_tent, coarse nullspace)."""
+    each aggregate, orthonormalized; returns (P_tent, coarse nullspace,
+    uniform) where ``uniform`` says every aggregate kept all k columns —
+    i.e. the coarse level has an exact k-wide block structure (coarse dof
+    agg*k+c), which lets the NEXT level aggregate block-wise again (the
+    round-4 coarsening stall: scalar aggregation on block-structured coarse
+    elasticity operators degenerates to singletons; AMGCL keeps block value
+    types at every level, AMGCL.hpp:48-98)."""
     n, k = B.shape
     order = np.argsort(agg, kind="stable")
     counts = np.bincount(agg, minlength=n_agg)
@@ -1158,10 +1299,11 @@ def _tentative_prolongator(agg: np.ndarray, n_agg: int, B: np.ndarray):
     P.eliminate_zeros()
     Bc = Rf.reshape(n_agg * k, k)
     keep_flat = keep.ravel()
-    if not keep_flat.all():
+    uniform = bool(keep_flat.all())
+    if not uniform:
         P = sp.csr_matrix(P[:, keep_flat])
         Bc = Bc[keep_flat]
-    return P, Bc
+    return P, Bc, uniform
 
 
 def _smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,

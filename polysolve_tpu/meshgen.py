@@ -33,10 +33,17 @@ import scipy.sparse as sp
 
 
 def delaunay_mesh(nx: int, ny: int, nz: Optional[int] = None, seed: int = 0,
-                  jitter: float = 0.35) -> Tuple[np.ndarray, np.ndarray]:
-    """Unstructured simplicial mesh: jittered lattice points + Delaunay.
-    The jitter destroys every grid diagonal structure while keeping element
-    quality bounded (no sliver collapse for jitter < 0.5 spacing).
+                  jitter: float = 0.35,
+                  min_quality: float = 0.05) -> Tuple[np.ndarray, np.ndarray]:
+    """Unstructured simplicial mesh: jittered lattice points + Delaunay,
+    with a cell-quality floor. Raw jittered Delaunay keeps near-degenerate
+    slivers (volume fine, aspect terrible) whose P1 stiffness runs ~1e5× the
+    median diagonal — a coefficient-contrast regime no quality mesher
+    (tetgen/tetwild, what polyfem actually feeds the reference) produces.
+    ``min_quality`` drops cells with vol/(0.11785·rms_edge³) below the
+    threshold (1.0 = regular simplex; 0.05 keeps ~97.5% of cells and caps
+    the diagonal contrast at ~14×). Pass ``min_quality=0`` for the raw
+    sliver mesh (the AMG robustness stress fixture).
 
     Returns (points (n, d), cells (m, d+1)).
     """
@@ -55,8 +62,22 @@ def delaunay_mesh(nx: int, ny: int, nz: Optional[int] = None, seed: int = 0,
     tri = Delaunay(pts)
     cells = np.asarray(tri.simplices, dtype=np.int64)
     # drop degenerate (near-zero-volume) cells Delaunay can emit on the hull
-    vol = _volumes(pts, cells)
-    keep = np.abs(vol) > 1e-9
+    vol = np.abs(_volumes(pts, cells))
+    keep = vol > 1e-9
+    if min_quality > 0:
+        d = pts.shape[1]
+        P = pts[cells]                         # (m, d+1, d)
+        npairs, e2 = 0, np.zeros(len(cells))
+        for i in range(d + 1):
+            for j in range(i + 1, d + 1):
+                e2 += ((P[:, i] - P[:, j]) ** 2).sum(axis=1)
+                npairs += 1
+        rms = np.sqrt(e2 / npairs)
+        # regular-simplex volume coefficients: area = (√3/4)a², vol =
+        # (√2/12)a³
+        coef = 0.43301 if d == 2 else 0.11785
+        q = vol / (coef * np.maximum(rms, 1e-30) ** d)
+        keep &= q > min_quality
     return pts, cells[keep]
 
 

@@ -165,6 +165,12 @@ def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
     A.sort_indices()
     dtype = dtype or default_dtype()
     n, m = A.shape
+    # dt8 is an int8 dest-tile plane: st >= 128 would wrap indices negative
+    # and the kernel's iota compare silently drops those contributions
+    # (ADVICE r4 low #2 — fail loudly on out-of-range sweep configs)
+    if st > 127:
+        raise ValueError(f"tile_ell.pack: st={st} exceeds the int8 "
+                         "dest-tile plane range (max 127)")
 
     from polysolve_tpu import native
 

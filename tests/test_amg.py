@@ -154,7 +154,7 @@ def test_block_nullspace_dims():
     B = _initial_nullspace(8, 2, None)
     assert B.shape == (8, 2)
     agg = np.array([0, 0, 0, 0, 1, 1, 1, 1])
-    P, Bc = _tentative_prolongator(agg, 2, B)
+    P, Bc, _ = _tentative_prolongator(agg, 2, B)
     assert P.shape == (8, 4)
     assert Bc.shape == (4, 2)
     # tentative P exactly reproduces the nullspace: P @ Bc == B
@@ -170,7 +170,7 @@ def test_rbm_nullspace_preserved():
     n, k = 30, 3
     B = rng.standard_normal((n, k))
     agg = np.repeat(np.arange(6), 5)
-    P, Bc = _tentative_prolongator(agg, 6, B)
+    P, Bc, _ = _tentative_prolongator(agg, 6, B)
     assert np.allclose(P @ Bc, B, atol=1e-10)
 
 
