@@ -706,13 +706,15 @@ class AMGHierarchy:
     aggregates: list = None  # per-level aggregation maps (pattern-reuse cache)
     probe_plans: list = None  # per-level _ProbePlan (device-RAP reuse cache)
     timings: dict = None      # setup phase attribution (seconds)
+    device_caches: list = None  # per-level tile-ELL value-scatter plans
 
     @staticmethod
     def setup(A: sp.spmatrix, params: Dict[str, Any] = None, block_size: int = 1,
               nullspace: Optional[np.ndarray] = None,
               logger: Optional[logging.Logger] = None,
               reuse_aggregates: Optional[list] = None,
-              reuse_probe: Optional[list] = None) -> "AMGHierarchy":
+              reuse_probe: Optional[list] = None,
+              reuse_device: Optional[list] = None) -> "AMGHierarchy":
         """Build the hierarchy. ``reuse_aggregates`` (from a previous
         hierarchy on the same sparsity pattern) skips the aggregation phase,
         and ``reuse_probe`` (its probe-plan companion) pins the device-probed
@@ -752,6 +754,7 @@ class AMGHierarchy:
         sizes = [n]
         aggregates = []
         probe_plans = []
+        device_caches = []
         timings: Dict[str, float] = {}
         total_nnz = A0.nnz
         Al, Bl = A0, B
@@ -828,6 +831,7 @@ class AMGHierarchy:
                 if carrier is not None:
                     aggregates.append((None, carrier.shape[0]))
                     probe_plans.append(plan)
+                    device_caches.append(None)
                     if smoother == "cheb1":
                         lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
                     else:
@@ -870,7 +874,9 @@ class AMGHierarchy:
                 # them degenerates (round-4 stall: 85,905→13,848→7,490→
                 # 6,944→6,863 at 1M-row elasticity)
                 agg, n_agg = _aggregate(Al, eps_l, blk, mode=strength_mode)
-            if n_agg > 0.8 * Al.shape[0]:
+            # coarse size is n_agg·k (k nullspace columns per aggregate) —
+            # compare in DOF units or block hierarchies never trip the guard
+            if n_agg * Bl.shape[1] > 0.8 * Al.shape[0]:
                 # degenerate coarsening (mostly singleton aggregates): stop
                 # the hierarchy here rather than stacking dead levels — the
                 # 1M-row block-3 elasticity run produced 7490→6944→6863
@@ -891,6 +897,14 @@ class AMGHierarchy:
                         "block_size matching the PDE system.")
             aggregates.append((agg, n_agg))
             probe_plans.append(None)
+            # per-level device-op value-plan cache (A/P/R tile-ELL): reuse
+            # the previous factorize's plans when the pattern repeats
+            dc = (reuse_device[len(device_caches)]
+                  if reuse_device is not None
+                  and len(device_caches) < len(reuse_device)
+                  and reuse_device[len(device_caches)] is not None
+                  else {"A": {}, "P": {}, "R": {}})
+            device_caches.append(dc)
             t_host0 = _time.perf_counter()
             d = Al.diagonal()
             d = np.where(d != 0, d, 1.0)
@@ -983,7 +997,7 @@ class AMGHierarchy:
                 # anything still ELL runs tile-ELL on TPU (threshold 4096 —
                 # no dead zone between the dense cap and the tile path)
                 A_dev = _maybe_tile(A_dev, Al, params, dtype,
-                                    fast_reduce=True)
+                                    fast_reduce=True, cache=dc["A"])
             if smoother == "cheb1":
                 # brackets on the Jacobi-scaled spectrum (AMGCL scale: true)
                 lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
@@ -992,11 +1006,11 @@ class AMGHierarchy:
             levels.append(AMGLevel(
                 A=A_dev,
                 P=None if structured else _maybe_tile(
-                    ell_from_scipy(P, dtype=dtype), P, params, dtype,
-                    fast_reduce=True),
+                    None, P, params, dtype,
+                    fast_reduce=True, cache=dc["P"]),
                 R=None if structured else _maybe_tile(
-                    ell_from_scipy(R, dtype=dtype), R, params, dtype,
-                    fast_reduce=True),
+                    None, R, params, dtype,
+                    fast_reduce=True, cache=dc["R"]),
                 theta=jnp.asarray((hi + lo) / 2.0, dtype=dtype),
                 delta=jnp.asarray((hi - lo) / 2.0, dtype=dtype),
                 Dinv=jnp.asarray(1.0 / d, dtype=dtype),
@@ -1026,10 +1040,11 @@ class AMGHierarchy:
         return AMGHierarchy(state=state, level_sizes=sizes,
                             operator_complexity=total_nnz / max(A0.nnz, 1),
                             aggregates=aggregates, probe_plans=probe_plans,
-                            timings=timings)
+                            timings=timings, device_caches=device_caches)
 
 
-def _maybe_tile(dev, A_host, params, dtype, fast_reduce: bool = False):
+def _maybe_tile(dev, A_host, params, dtype, fast_reduce: bool = False,
+                cache: Optional[dict] = None):
     """Swap an ELL device operator for the Pallas tile-ELL format on TPU:
     unstructured levels/transfers otherwise run the 0.13 Gnnz/s XLA gather.
     Assumes the caller ordered the fine problem for banded locality
@@ -1040,19 +1055,41 @@ def _maybe_tile(dev, A_host, params, dtype, fast_reduce: bool = False):
     from polysolve_tpu.types import ELLMatrix
 
     mode = (params or {}).get("tile_ell", "auto")
-    if mode in (False, "off") or not isinstance(dev, ELLMatrix):
-        return dev
+    # dev=None means "ELL candidate not built yet" (transfer operators):
+    # the ELL is only materialized when the tile path does NOT engage —
+    # otherwise pack directly from the host CSR (no throwaway ELL build)
+    is_cand = dev is None or isinstance(dev, ELLMatrix)
+    if mode in (False, "off") or not is_cand:
+        return dev if dev is not None else ell_from_scipy(A_host, dtype=dtype)
     on_tpu = jax.default_backend() == "tpu"
     if mode in (True, "on") or (on_tpu and A_host.shape[0] >= 4096):
         from polysolve_tpu.ops import tile_ell
 
-        M = tile_ell.pack(A_host, dtype=dtype)
+        if cache is not None:
+            # value-only refill when the level's sparsity pattern is
+            # unchanged since the last factorize (refactorize economics:
+            # the round-4 unstructured path re-packed every level, 280 s
+            # at 1M rows)
+            Ac = sp.csr_matrix(A_host)
+            Ac.sum_duplicates()
+            Ac.sort_indices()
+            key = (Ac.shape, Ac.nnz,
+                   hash(Ac.indptr.tobytes()) ^ hash(Ac.indices.tobytes()))
+            if cache.get("key") == key:
+                M = tile_ell.repack_values(cache["M"], cache["plan"],
+                                           Ac.data)
+                cache["M"] = M
+                return M.with_fast_reduce() if fast_reduce else M
+            M, plan = tile_ell.pack_with_plan(Ac, dtype=dtype)
+            cache.update({"key": key, "M": M, "plan": plan})
+        else:
+            M = tile_ell.pack(A_host, dtype=dtype)
         # preconditioner-internal operators use the single-pass bf16 reduce
         # (1.4e-3/matvec) — AMG smoother/transfer applications are O(1e-1)
         # approximations; the solver-level operator (the facade's A_dev,
         # fast_reduce=False) keeps the accurate two-pass split
         return M.with_fast_reduce() if fast_reduce else M
-    return dev
+    return dev if dev is not None else ell_from_scipy(A_host, dtype=dtype)
 
 
 def _initial_nullspace(n: int, block_size: int, nullspace) -> np.ndarray:

@@ -202,6 +202,58 @@ def pack(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
     )
 
 
+def pack_with_plan(A: sp.spmatrix, dtype=None, cr: int = CR_DEFAULT,
+                   st: int = ST_DEFAULT, bs: int = BS_DEFAULT):
+    """Like :func:`pack`, but also returns the VALUE-SCATTER PLAN: an int64
+    (TC, CR, 128) array mapping each slot to its source index in the
+    (canonical, duplicate-summed) CSR ``data`` array, −1 for padding slots.
+    Placement is pattern-only (native ``tile_ell_plan3`` never sees values),
+    so a Newton-loop refactorize with an unchanged sparsity pattern rebuilds
+    ``vals`` in O(nnz) via :func:`repack_values` instead of re-running the
+    packer — the facade-overhead fix (reference economics: AMGCL rebuilds
+    fully per factorize, AMGCL.cpp:148-184)."""
+    A = sp.csr_matrix(A)
+    A.sum_duplicates()
+    A.sort_indices()
+    dtype = dtype or default_dtype()
+    if st > 127:
+        raise ValueError(f"tile_ell.pack_with_plan: st={st} exceeds int8")
+    # pack with data = 1..nnz (exact in float64 below 2^53): the returned
+    # vals ARE the 1-based source indices; 0 = padding
+    A_idx = sp.csr_matrix(
+        (np.arange(1, A.nnz + 1, dtype=np.float64), A.indices, A.indptr),
+        shape=A.shape)
+
+    from polysolve_tpu import native
+
+    packed = native.tile_ell_pack3(A_idx, cr=cr, st=st, bs=bs)
+    if packed is None:
+        packed = _pack_numpy(A_idx, cr, st, bs=bs)
+    idx_vals, r8, q8, oh8, wb, super_of = packed
+    plan = np.asarray(idx_vals, np.int64) - 1          # -1 = padding
+    vals = np.where(plan >= 0, A.data[np.maximum(plan, 0)], 0.0)
+    dt8 = np.ascontiguousarray(np.repeat(
+        np.argmax(np.asarray(oh8), axis=1).astype(np.int8)[:, None, :],
+        8, axis=1))
+    M = TileELLMatrix(
+        vals=jnp.asarray(vals, dtype=dtype),
+        r8=jnp.asarray(r8),
+        q8t=jnp.asarray(np.swapaxes(q8, 1, 2).copy()),
+        dt8=jnp.asarray(dt8),
+        wb=jnp.asarray(wb),
+        super_of=jnp.asarray(super_of),
+        shape=A.shape, nnz=int(A.nnz), cr=cr, st=st, bs=bs)
+    return M, plan
+
+
+def repack_values(M: TileELLMatrix, plan: np.ndarray,
+                  data: np.ndarray) -> TileELLMatrix:
+    """O(nnz) value-only refill of a packed matrix: ``data`` is the new CSR
+    data array (same canonical pattern the plan was built from)."""
+    vals = np.where(plan >= 0, np.asarray(data)[np.maximum(plan, 0)], 0.0)
+    return M.replace(vals=jnp.asarray(vals, dtype=M.dtype))
+
+
 def _pack_numpy(A: sp.csr_matrix, cr: int, st: int,
                 span_cap: int = GROUP_SPAN, bs: int = 1):
     """Rolling-window first-fit supertile packing (v3), numpy + per-entry
