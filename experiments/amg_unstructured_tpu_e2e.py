@@ -46,6 +46,7 @@ def main():
     s.analyze_pattern(A)
     s.factorize(A)
     setup_s = time.perf_counter() - t0
+    setup_phases = {k: round(v, 2) for k, v in (s._hier.timings or {}).items()}
     t0 = time.perf_counter()
     x = s.solve(b)
     first_solve_s = time.perf_counter() - t0
@@ -54,19 +55,33 @@ def main():
     warm_solve_s = time.perf_counter() - t0
     info = s.get_info()
     rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
+    # values-only refactorize (pattern reuse; best-of-2 — the first repeat
+    # may still compile reuse-path programs), with its own phase split
+    refac_s, refac_phases = 1e9, {}
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s.factorize(A)
+        dt = time.perf_counter() - t0
+        if dt < refac_s:
+            refac_s = dt
+            refac_phases = {k: round(v, 2)
+                            for k, v in (s._hier.timings or {}).items()}
     t0 = time.perf_counter()
-    s.factorize(A)
-    refac_s = time.perf_counter() - t0
+    x2 = s.solve(b)
+    resolve_s = time.perf_counter() - t0
+    rel2 = float(np.linalg.norm(A @ x2 - b) / np.linalg.norm(b))
     log({"experiment": "amg_unstructured_tpu_e2e", "n": n, "nnz": nnz,
          "block_size": 3,
          "setup_s": round(setup_s, 1),
-         "setup_phases": {k: round(v, 2)
-                          for k, v in (s._hier.timings or {}).items()},
+         "setup_phases": setup_phases,
          "level_sizes": s._hier.level_sizes,
          "operator_complexity": round(s._hier.operator_complexity, 2),
          "first_solve_s": round(first_solve_s, 1),
          "warm_solve_s": round(warm_solve_s, 2),
          "refactorize_s": round(refac_s, 1),
+         "refactorize_phases": refac_phases,
+         "post_refactorize_solve_s": round(resolve_s, 2),
+         "post_refactorize_rel": rel2,
          "iterations": int(info["num_iterations"]),
          "rel_residual": rel, "converged": bool(info["converged"]),
          "platform": jax.default_backend()})

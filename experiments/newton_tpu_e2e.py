@@ -72,7 +72,26 @@ def main():
             "AMG": {"tolerance": 1e-7, "max_iter": 300},
         },
     )
+    # per-call phase attribution on the inner linear solver (VERDICT r4
+    # weak #3: ~5x unattributed facade overhead per Newton step) — wrap at
+    # the class level (Newton lazily instantiates its linear solver)
+    from polysolve_tpu.linear.iterative import AMGSolver
+
+    phases = {"factorize": [], "solve": [], "hessian": []}
+
+    def timed(name, fn):
+        def wrap(*a, **k):
+            t0 = time.perf_counter()
+            out = fn(*a, **k)
+            phases[name].append(round(time.perf_counter() - t0, 2))
+            return out
+        return wrap
+
+    AMGSolver.factorize = timed("factorize", AMGSolver.factorize)
+    AMGSolver.solve = timed("solve", AMGSolver.solve)
+
     prob = NLPoisson()
+    prob.hessian = timed("hessian", prob.hessian)
     x0 = np.zeros(n)
     t0 = time.perf_counter()
     x = solver.minimize(prob, x0)
@@ -89,6 +108,7 @@ def main():
         "time_update_direction_per_it": round(info.get(
             "time_update_direction", 0.0), 2),
         "time_obj_fun_per_it": round(info.get("time_obj_fun", 0.0), 3),
+        "per_call_s": phases,
     }
     print(json.dumps(res))
     assert gn < 1e-5, gn

@@ -1229,6 +1229,31 @@ def _aggregate(A: sp.csr_matrix, eps: float, block_size: int = 1,
         agg_nodes, n_agg = _aggregate(An, eps, 1, mode=mode)
         return np.repeat(agg_nodes, block_size), n_agg
 
+    def _group_isolated(agg, n_agg, gsize: int = 32):
+        """Bin structurally isolated rows (diagonal-only — Dirichlet
+        identity rows) into shared aggregates of ``gsize``. They have no
+        graph neighbors, so every aggregator leaves them as permanent
+        singletons — a 1M-row elasticity mesh carried a 6,861-node
+        singleton floor through EVERY level, ending in a 20,583-row dense
+        coarse inverse (284 s / 1.7 GB). Decoupled rows are exactly
+        represented by any aggregate (zero cross-coupling) and their error
+        lives at λ≈1 of D⁻¹A where the smoother is strongest, so grouping
+        them is loss-free and collapses the floor geometrically."""
+        row_of = np.repeat(np.arange(n), np.diff(A.indptr))
+        offdeg = np.diff(A.indptr) - np.bincount(
+            row_of[A.indices == row_of], minlength=n)
+        iso = np.flatnonzero(offdeg == 0)
+        if len(iso) < 2 * gsize:
+            return agg, n_agg
+        agg2 = np.asarray(agg).copy()
+        agg2[iso] = -1
+        live = agg2 >= 0
+        _, comp = np.unique(agg2[live], return_inverse=True)
+        base = int(comp.max()) + 1 if comp.size else 0
+        agg2[live] = comp
+        agg2[iso] = base + np.arange(len(iso)) // gsize
+        return agg2, base + -(-len(iso) // gsize)
+
     # native Vaněk greedy aggregation when available (cpp/host_kernels.cpp;
     # sequential but C++-fast — the quality reference); numpy MIS fallback.
     # rowmax mode pre-filters to the strong graph and aggregates it with
@@ -1239,11 +1264,11 @@ def _aggregate(A: sp.csr_matrix, eps: float, block_size: int = 1,
         S = _rowmax_strength(A, eps)
         nat = native.greedy_aggregate(S, 0.0)
         if nat is not None:
-            return nat
+            return _group_isolated(*nat)
     else:
         nat = native.greedy_aggregate(A, eps)
         if nat is not None:
-            return nat
+            return _group_isolated(*nat)
         S = _strength_graph(A, eps)
     rng = np.random.default_rng(12345)
     pri = rng.random(n)
@@ -1293,7 +1318,7 @@ def _aggregate(A: sp.csr_matrix, eps: float, block_size: int = 1,
     if len(un):  # truly isolated: singleton aggregates
         agg[un] = n_agg + np.arange(len(un))
         n_agg += len(un)
-    return agg, n_agg
+    return _group_isolated(agg, n_agg)
 
 
 def _tentative_prolongator(agg: np.ndarray, n_agg: int, B: np.ndarray):
