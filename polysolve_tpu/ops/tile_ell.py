@@ -377,6 +377,345 @@ def _pack_numpy(A: sp.csr_matrix, cr: int, st: int,
 
 
 # --------------------------------------------------------------------------- #
+# Block tile-ELL: b×b dense blocks on the condensed node graph               #
+# --------------------------------------------------------------------------- #
+
+
+@struct.dataclass
+class TileELLBlockMatrix:
+    """Block-compressed tile-ELL for FEM systems with b dofs per node (the
+    TPU answer to the reference's BSR formats — MASSolver.cu:198 block_dim,
+    AMGCL's block_value_type<3>, AMGCL.hpp:48-98).
+
+    Packing runs the SCALAR v3 planner on the condensed node graph (one
+    slot per b×b block); each slot streams b² values but only ONE (r8, q8)
+    index pair — 0.22 B/nnz of index traffic at b=3 vs 2 B/nnz scalar, and
+    one gather/transpose pipeline pass serves b² nnz instead of 1. Node
+    spans are b× smaller in segments, so the 128-segment window covers the
+    RCM band that forces the scalar packer to split slot-rows (measured
+    1M-row elasticity: scalar padding 2.05 window-span-bound vs ~1.5 on
+    the node graph).
+
+    Vectors live in PLANAR-TILE layout: dof (node I, comp c) sits at flat
+    index (I//128)·b·128 + c·128 + (I%128) — i.e. x2d is (S, b·128) with
+    component-contiguous 128-lane groups. The facade folds this into its
+    solve-boundary permutation (``planar_perm``); matvec consumes and
+    produces planar vectors with NO device relayout.
+
+    vals : (TC, b², CR, 128) — slot values, block element o = li·b + lj
+    r8/q8t/dt8/wb/super_of : identical to the scalar format, node-indexed
+    """
+
+    vals: jnp.ndarray
+    r8: jnp.ndarray
+    q8t: jnp.ndarray
+    dt8: jnp.ndarray
+    wb: jnp.ndarray
+    super_of: jnp.ndarray
+    shape: Tuple[int, int] = struct.field(pytree_node=False)
+    nnz: int = struct.field(pytree_node=False)
+    bdim: int = struct.field(pytree_node=False, default=3)
+    nnzb: int = struct.field(pytree_node=False, default=0)
+    cr: int = struct.field(pytree_node=False, default=CR_DEFAULT)
+    st: int = struct.field(pytree_node=False, default=ST_DEFAULT)
+    bs: int = struct.field(pytree_node=False, default=1)
+    fast_reduce: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nb(self) -> int:
+        return self.shape[0] // self.bdim
+
+    @property
+    def n_super(self) -> int:
+        return -(-self.nb // (self.st * LANES))
+
+    @property
+    def padding_ratio(self) -> float:
+        return self.vals.shape[0] * self.cr * LANES / max(self.nnzb, 1)
+
+    def with_fast_reduce(self) -> "TileELLBlockMatrix":
+        return self.replace(fast_reduce=True)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """PLANAR-layout matvec: x and y are planar-tile vectors (see class
+        docstring). Callers own the boundary permutation."""
+        from polysolve_tpu.ops.spmv import use_pallas_dia as _on_tpu
+
+        if _on_tpu():
+            return tile_block_matvec_pallas(self, x)
+        return tile_block_matvec_ref(self, x)
+
+    def rmatvec(self, y: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError("block tile-ELL is matvec-only")
+
+
+def planar_perm(n: int, bdim: int) -> np.ndarray:
+    """perm such that x_planar = x[perm]: dof (I, c) → (I//128)·b·128 +
+    c·128 + I%128, padded conceptually at the caller (perm covers the
+    first n entries of the padded planar vector)."""
+    nb = n // bdim
+    I = np.arange(nb)
+    # planar position of each (I, c)
+    out = np.empty(n, dtype=np.int64)
+    for c in range(bdim):
+        pos = (I // LANES) * bdim * LANES + c * LANES + (I % LANES)
+        out[pos] = I * bdim + c
+    return out
+
+
+def planar_size(n: int, bdim: int) -> int:
+    nb = n // bdim
+    return (-(-nb // LANES)) * bdim * LANES
+
+
+def pack_block(A: sp.spmatrix, bdim: int, dtype=None, cr: int = CR_DEFAULT,
+               st: int = ST_DEFAULT, bs: int = BS_DEFAULT):
+    """Pack a b-block CSR matrix into block tile-ELL. Returns (M, plan,
+    block_of, offs_of) where ``plan`` is the node-graph slot plan and
+    (block_of, offs_of) map each scalar CSR entry to its (block index,
+    b²-offset) — together they give O(nnz) value-only refactorize:
+    ``repack_block_values``."""
+    A = sp.csr_matrix(A)
+    A.sum_duplicates()
+    A.sort_indices()
+    dtype = dtype or default_dtype()
+    n, m = A.shape
+    assert n % bdim == 0 and m % bdim == 0, (n, m, bdim)
+    nb = n // bdim
+    C = A.tocoo()
+    BI = (C.row // bdim).astype(np.int64)
+    BJ = (C.col // bdim).astype(np.int64)
+    off = (C.row % bdim) * bdim + (C.col % bdim)
+    An = sp.csr_matrix((np.ones(len(BI), np.float64), (BI, BJ)),
+                       shape=(nb, nb))
+    An.sum_duplicates()
+    Anc = An.tocoo()  # canonical sorted keys
+    keys = Anc.row.astype(np.int64) * nb + Anc.col
+    block_of = np.searchsorted(keys, BI * nb + BJ)
+    nnzb = An.nnz
+    block_vals = np.zeros((nnzb, bdim * bdim))
+    block_vals[block_of, off] = C.data
+    # plan-pack the node pattern (placement is pattern-only)
+    An_idx = sp.csr_matrix(
+        (np.arange(1, nnzb + 1, dtype=np.float64), An.indices, An.indptr),
+        shape=(nb, nb))
+
+    from polysolve_tpu import native
+
+    packed = native.tile_ell_pack3(An_idx, cr=cr, st=st, bs=bs)
+    if packed is None:
+        packed = _pack_numpy(An_idx, cr, st, bs=bs)
+    idx_vals, r8, q8, oh8, wb, super_of = packed
+    plan = np.asarray(idx_vals, np.int64) - 1            # (TC, CR, 128)
+    vals = np.where(plan[..., None] >= 0,
+                    block_vals[np.maximum(plan, 0)], 0.0)
+    vals = np.moveaxis(vals, -1, 1)                      # (TC, b², CR, 128)
+    dt8 = np.ascontiguousarray(np.repeat(
+        np.argmax(np.asarray(oh8), axis=1).astype(np.int8)[:, None, :],
+        8, axis=1))
+    M = TileELLBlockMatrix(
+        vals=jnp.asarray(np.ascontiguousarray(vals), dtype=dtype),
+        r8=jnp.asarray(r8),
+        q8t=jnp.asarray(np.swapaxes(q8, 1, 2).copy()),
+        dt8=jnp.asarray(dt8),
+        wb=jnp.asarray(wb),
+        super_of=jnp.asarray(super_of),
+        shape=(n, m), nnz=int(A.nnz), bdim=bdim, nnzb=int(nnzb),
+        cr=cr, st=st, bs=bs)
+    return M, plan, block_of, off
+
+
+def repack_block_values(M: TileELLBlockMatrix, plan: np.ndarray,
+                        block_of: np.ndarray, offs: np.ndarray,
+                        data: np.ndarray) -> TileELLBlockMatrix:
+    """O(nnz) value refill for an unchanged pattern."""
+    b2 = M.bdim * M.bdim
+    block_vals = np.zeros((M.nnzb, b2))
+    block_vals[block_of, offs] = np.asarray(data)
+    vals = np.where(plan[..., None] >= 0,
+                    block_vals[np.maximum(plan, 0)], 0.0)
+    vals = np.ascontiguousarray(np.moveaxis(vals, -1, 1))
+    return M.replace(vals=jnp.asarray(vals, dtype=M.dtype))
+
+
+def _pad_x2d_block(M: TileELLBlockMatrix, x_planar: jnp.ndarray):
+    """Pad a planar vector to the kernel's (S_pad, b·128) window shape."""
+    b = M.bdim
+    S = planar_size(M.shape[1], b) // (b * LANES)
+    xp = jnp.pad(x_planar.reshape(-1),
+                 (0, (S + WIN) * b * LANES - x_planar.size))
+    return xp.reshape(-1, b * LANES)
+
+
+def to_planar(x: np.ndarray, bdim: int) -> np.ndarray:
+    """Host-side dof→planar conversion (numpy; the facade folds this into
+    its boundary permutation instead)."""
+    n = x.shape[0]
+    nb = n // bdim
+    x3 = np.asarray(x).reshape(nb, bdim)
+    nbp = -(-nb // LANES)
+    xp = np.zeros((nbp * LANES, bdim), dtype=x3.dtype)
+    xp[:nb] = x3
+    return np.ascontiguousarray(
+        xp.reshape(nbp, LANES, bdim).transpose(0, 2, 1)).reshape(-1)
+
+
+def from_planar(y: np.ndarray, n: int, bdim: int) -> np.ndarray:
+    """Planar→dof conversion; accepts supertile-padded vectors (truncates
+    past the used node tiles)."""
+    nb = n // bdim
+    nbp = -(-nb // LANES)
+    y3 = np.asarray(y).reshape(-1, bdim, LANES)[:nbp].transpose(0, 2, 1)
+    return np.ascontiguousarray(y3).reshape(-1, bdim).reshape(-1)[: n]
+
+
+def tile_block_matvec_ref(M: TileELLBlockMatrix,
+                          x_planar: jnp.ndarray) -> jnp.ndarray:
+    """jnp reference (CPU path): planar in, planar out."""
+    b = M.bdim
+    x2d = _pad_x2d_block(M, x_planar)                    # (S+W, b·128)
+    q = jnp.swapaxes(M.q8t.astype(jnp.int32), 1, 2)      # (TC, CR, 128)
+    seg_abs = M.wb[:, None, None] + q
+    rho = jax.lax.broadcasted_iota(jnp.int32, seg_abs.shape, 2)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (M.st, M.cr), 0)[None]
+          == M.dt8[:, 0, :].astype(jnp.int32)[:, None, :]
+          ).astype(M.vals.dtype)
+    ys = []
+    for c in range(b):
+        acc = None
+        for cp in range(b):
+            comp = x2d[:, cp * LANES:(cp + 1) * LANES][seg_abs, rho]
+            g = jnp.take_along_axis(comp, M.r8.astype(jnp.int32), axis=2)
+            term = M.vals[:, c * b + cp] * g
+            acc = term if acc is None else acc + term
+        contrib = jnp.einsum("cts,csl->ctl", oh, acc)    # (TC, ST, 128)
+        ys.append(jax.ops.segment_sum(contrib, M.super_of,
+                                      num_segments=M.n_super))
+    y = jnp.stack(ys, axis=2)                            # (NS, ST, b, 128)
+    return y.reshape(-1)
+
+
+def tile_block_matvec_pallas(M: TileELLBlockMatrix,
+                             x_planar: jnp.ndarray) -> jnp.ndarray:
+    x2d = _pad_x2d_block(M, x_planar)
+    return _tile_block_pallas(M.vals, M.r8, M.q8t, M.dt8, M.wb, M.super_of,
+                              x2d, M.n_super, M.cr, M.st, M.bs, M.bdim,
+                              reduce_mode=("fast" if M.fast_reduce
+                                           else "split2"))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_super", "CR", "ST", "BS", "BD",
+                                    "reduce_mode"))
+def _tile_block_pallas(vals, r8, q8t, dt8, wb, super_of, x2d, n_super,
+                       CR, ST, BS: int, BD: int,
+                       reduce_mode: str = "split2"):
+    """Block kernel: one gather/transpose pipeline pass per COMPONENT per
+    chunk serves b² nnz per slot; the dest reduce runs per output
+    component on the shared one-hot. Output is (NS·ST, b·128) planar."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TC = vals.shape[0]
+    dtype = vals.dtype
+    assert TC % BS == 0, (TC, BS)
+    wb_sc = wb[::BS]
+    sup_sc = super_of[::BS]
+    NSC = TC // BS
+
+    def kernel(sup_s, wb_s, q_ref, dt_ref, vals_ref, r_ref, x_hbm,
+               y_ref, xwt, sem):
+        c = pl.program_id(0)
+        prev = jnp.maximum(c - 1, 0)
+        new_super = (c == 0) | (sup_s[c] != sup_s[prev])
+        new_win = (c == 0) | (wb_s[c] != wb_s[prev])
+
+        @pl.when(new_win)
+        def _():
+            def scoped(xtmp, wsem):
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(wb_s[c], WIN), :], xtmp, wsem)
+                cp.start()
+                cp.wait()
+                for comp in range(BD):
+                    xwt[comp] = xtmp[:, comp * LANES:(comp + 1) * LANES].T
+            pl.run_scoped(scoped, pltpu.VMEM((WIN, BD * LANES), dtype),
+                          pltpu.SemaphoreType.DMA)
+
+        @pl.when(new_super)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        # per-chunk gather pipeline, once per INPUT component
+        gs = []          # gs[b][cp] = (CR, 128) gathered x values
+        for bi in range(BS):
+            qt = q_ref[bi].astype(jnp.int32)             # (128, CR)
+            if CR < LANES:
+                qpad = jnp.concatenate(
+                    [qt, jnp.zeros((LANES, LANES - CR), jnp.int32)], axis=1)
+            else:
+                qpad = qt
+            r_idx = r_ref[bi].astype(jnp.int32)
+            per_cp = []
+            for comp in range(BD):
+                G = jnp.take_along_axis(xwt[comp], qpad, axis=1)
+                compT = G.T[:CR]
+                per_cp.append(jnp.take_along_axis(compT, r_idx, axis=1))
+            gs.append(per_cp)
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (ST, CR), 0)
+        ohs = [(iota_t == dt_ref[bi, 0].astype(jnp.int32)[None, :]
+                ).astype(dtype) for bi in range(BS)]
+        ohc = ohs[0] if BS == 1 else jnp.concatenate(ohs, axis=1)
+        for comp_out in range(BD):
+            ps = []
+            for bi in range(BS):
+                acc = None
+                for cp in range(BD):
+                    term = vals_ref[bi, comp_out * BD + cp] * gs[bi][cp]
+                    acc = term if acc is None else acc + term
+                ps.append(acc)
+            p = ps[0] if BS == 1 else jnp.concatenate(ps, axis=0)
+            sl = slice(comp_out * LANES, (comp_out + 1) * LANES)
+            if reduce_mode == "fast":
+                y_ref[:, sl] += jnp.dot(ohc, p, preferred_element_type=dtype)
+            else:
+                pb = p.astype(jnp.bfloat16).astype(dtype)
+                plo = p - pb
+                y_ref[:, sl] += (
+                    jnp.dot(ohc, pb, preferred_element_type=dtype)
+                    + jnp.dot(ohc, plo, preferred_element_type=dtype))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NSC,),
+        in_specs=[
+            pl.BlockSpec((BS, LANES, CR), lambda c, ss, wbs: (c, 0, 0)),
+            pl.BlockSpec((BS, 8, CR), lambda c, ss, wbs: (c, 0, 0)),
+            pl.BlockSpec((BS, BD * BD, CR, LANES),
+                         lambda c, ss, wbs: (c, 0, 0, 0)),
+            pl.BlockSpec((BS, CR, LANES), lambda c, ss, wbs: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((ST, BD * LANES),
+                               lambda c, ss, wbs: (ss[c], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((BD, LANES, WIN), dtype),   # transposed windows
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_super * ST, BD * LANES), dtype),
+    )(sup_sc, wb_sc, q8t, dt8, vals, r8, x2d)
+    return y.reshape(-1)
+
+
+# --------------------------------------------------------------------------- #
 # Reference (pure-jnp) SpMV — correctness anchor + CPU path                   #
 # --------------------------------------------------------------------------- #
 

@@ -426,6 +426,73 @@ def test_amg_facade_refactorize_value_reuse(rng):
     assert np.linalg.norm(x1 - x2) > 1e-6 * np.linalg.norm(x1)
 
 
+@pytest.fixture(scope="module")
+def elastic3_node_rcm():
+    """Block-3 elasticity in node-blocked RCM order (the block tile-ELL
+    precondition: 3-dof node triples contiguous)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from polysolve_tpu import meshgen
+
+    pts, cells = meshgen.delaunay_mesh(10, 10, 10, seed=2)
+    A = sp.csr_matrix(meshgen.elasticity_stiffness(pts, cells))
+    nb = A.shape[0] // 3
+    C = A.tocoo()
+    An = sp.csr_matrix((np.ones(len(C.row)), (C.row // 3, C.col // 3)),
+                       shape=(nb, nb))
+    node_perm = np.asarray(reverse_cuthill_mckee(An, symmetric_mode=True))
+    perm = (node_perm[:, None] * 3 + np.arange(3)[None, :]).ravel()
+    return A[perm][:, perm].tocsr()
+
+
+def test_tile_block_pack_ref_and_planar_roundtrip(elastic3_node_rcm, rng):
+    """Block tile-ELL (3×3 node blocks): planar layout round-trips, the jnp
+    reference matvec matches scipy, value-only repack matches a fresh
+    matrix (reference BSR role: MASSolver.cu:198, AMGCL block_value_type)."""
+    from polysolve_tpu.ops import tile_ell
+
+    A = elastic3_node_rcm
+    n = A.shape[0]
+    M, plan, block_of, offs = tile_ell.pack_block(A, 3)
+    assert M.padding_ratio < 4.0
+    x = rng.standard_normal(n)
+    xp = tile_ell.to_planar(x, 3)
+    assert np.allclose(tile_ell.from_planar(
+        np.concatenate([xp, np.zeros(17 * 384)]), n, 3), x)
+    y = tile_ell.from_planar(
+        np.asarray(tile_ell.tile_block_matvec_ref(M, jnp.asarray(xp))),
+        n, 3)
+    ref = A @ x
+    tol = 1e-5 if M.dtype == jnp.float32 else 1e-12
+    assert np.linalg.norm(y - ref) < tol * np.linalg.norm(ref)
+    A2 = A.copy()
+    A2.data = A2.data * rng.uniform(0.5, 2.0, size=A2.nnz)
+    M2 = tile_ell.repack_block_values(M, plan, block_of, offs, A2.data)
+    y2 = tile_ell.from_planar(
+        np.asarray(tile_ell.tile_block_matvec_ref(M2, jnp.asarray(xp))),
+        n, 3)
+    assert np.linalg.norm(y2 - A2 @ x) < tol * np.linalg.norm(A2 @ x)
+
+
+def test_tile_block_pallas_interpret(elastic3_node_rcm, rng):
+    """The block Pallas kernel (interpret mode) matches the reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from polysolve_tpu.ops import tile_ell
+
+    A = elastic3_node_rcm
+    n = A.shape[0]
+    M, _, _, _ = tile_ell.pack_block(A, 3)
+    x = rng.standard_normal(n)
+    xp = jnp.asarray(tile_ell.to_planar(x, 3), M.dtype)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(tile_ell.tile_block_matvec_pallas(M, xp))
+    yb = tile_ell.from_planar(y, n, 3)
+    ref = A @ x
+    tol = 1e-5 if M.dtype == jnp.float32 else 1e-10
+    assert np.linalg.norm(yb - ref) < tol * np.linalg.norm(ref)
+
+
 def test_pallas_dia_fallback_no_nameerror(rng):
     """pallas_dia_matvec's inadmissible-tile fallback must resolve
     dia_matvec (regression: NameError on AMG coarse DIA levels on TPU)."""
