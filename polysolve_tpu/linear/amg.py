@@ -966,38 +966,63 @@ class AMGHierarchy:
             # pathological — a K=1241 DIA at n=1754 unrolls 1241 shifted
             # FMAs per matvec (measured 280 ms/CG-iteration on the A0
             # fixture's blocks) — so keep the generic 64/0.55 rule there.
-            on_tpu_lvl = jax.default_backend() == "tpu"
-            dia_cap = (min(2048, max(64, (256 << 20) // (4 * Al.shape[0])))
-                       if len(levels) > 0 and on_tpu_lvl else 64)
-            A_dev = ops.to_device_matrix(
-                Al, dtype=dtype,
-                dia_max_diags=dia_cap,
-                dia_fill_threshold=(0.02 if len(levels) > 0 and on_tpu_lvl
-                                    else 0.55),
-            )
-            from polysolve_tpu.types import DIAMatrix as _DIAm
-            from polysolve_tpu.types import ELLMatrix as _ELL
-            from polysolve_tpu.types import dense_from_scipy
-
-            # near-dense DIA levels (K ≳ n/3) are better as ONE dense MXU
-            # matvec: comparable bytes, none of the K-term unroll
-            wide_dia = (isinstance(A_dev, _DIAm)
-                        and 3 * len(A_dev.offsets) >= Al.shape[0])
-            if (isinstance(A_dev, _ELL) or wide_dia) and \
-                    params.get("tile_ell") not in (True, "on") and \
-                    Al.shape[0] <= int(params.get("dense_level", 4096)):
-                # a level that would run the ELL/XLA-gather path goes DENSE
-                # instead: one MXU matvec. The gather was measured at
-                # 24.5 ms/matvec at n=4096 (amg_cycle_profile_results.jsonl)
-                # — visited 8x per W-cycle it dominated the preconditioner.
-                # NOTE dense is O(n²) memory: 64 MB fp32 at the 4096 default
-                # cap, per qualifying level — raise ``dense_level`` with care
-                A_dev = dense_from_scipy(Al, dtype=dtype)
+            # PLANAR block path (facade-injected): level 0 runs the block
+            # tile-ELL operator in planar-tile vector layout — P's rows,
+            # R's cols and Dinv are re-indexed into solver slots so the
+            # whole cycle at this level speaks planar (no per-apply
+            # relayout); coarse levels stay node-contiguous
+            planar = params.get("_planar") if len(levels) == 0 else None
+            P_host, R_host, Dinv_host = P, R, 1.0 / d
+            if planar is not None:
+                inv = planar["inv"]
+                n_pad = planar["n_pad"]
+                A_dev = planar["level0_op"]
+                Pc = sp.coo_matrix(P)
+                P_host = sp.csr_matrix(
+                    (Pc.data, (inv[Pc.row], Pc.col)),
+                    shape=(n_pad, P.shape[1]))
+                Rc = sp.coo_matrix(R)
+                R_host = sp.csr_matrix(
+                    (Rc.data, (Rc.row, inv[Rc.col])),
+                    shape=(R.shape[0], n_pad))
+                Dinv_host = np.ones(n_pad)
+                Dinv_host[inv] = 1.0 / d
             else:
-                # anything still ELL runs tile-ELL on TPU (threshold 4096 —
-                # no dead zone between the dense cap and the tile path)
-                A_dev = _maybe_tile(A_dev, Al, params, dtype,
-                                    fast_reduce=True, cache=dc["A"])
+                on_tpu_lvl = jax.default_backend() == "tpu"
+                dia_cap = (min(2048,
+                               max(64, (256 << 20) // (4 * Al.shape[0])))
+                           if len(levels) > 0 and on_tpu_lvl else 64)
+                A_dev = ops.to_device_matrix(
+                    Al, dtype=dtype,
+                    dia_max_diags=dia_cap,
+                    dia_fill_threshold=(0.02
+                                        if len(levels) > 0 and on_tpu_lvl
+                                        else 0.55),
+                )
+                from polysolve_tpu.types import DIAMatrix as _DIAm
+                from polysolve_tpu.types import ELLMatrix as _ELL
+                from polysolve_tpu.types import dense_from_scipy
+
+                # near-dense DIA levels (K ≳ n/3) are better as ONE dense
+                # MXU matvec: comparable bytes, none of the K-term unroll
+                wide_dia = (isinstance(A_dev, _DIAm)
+                            and 3 * len(A_dev.offsets) >= Al.shape[0])
+                if (isinstance(A_dev, _ELL) or wide_dia) and \
+                        params.get("tile_ell") not in (True, "on") and \
+                        Al.shape[0] <= int(params.get("dense_level", 4096)):
+                    # a level that would run the ELL/XLA-gather path goes
+                    # DENSE instead: one MXU matvec. The gather was measured
+                    # at 24.5 ms/matvec at n=4096
+                    # (amg_cycle_profile_results.jsonl) — visited 8x per
+                    # W-cycle it dominated the preconditioner. NOTE dense is
+                    # O(n²) memory: 64 MB fp32 at the 4096 default cap, per
+                    # qualifying level — raise ``dense_level`` with care
+                    A_dev = dense_from_scipy(Al, dtype=dtype)
+                else:
+                    # anything still ELL runs tile-ELL on TPU (threshold
+                    # 4096 — no dead zone between dense cap and tile path)
+                    A_dev = _maybe_tile(A_dev, Al, params, dtype,
+                                        fast_reduce=True, cache=dc["A"])
             if smoother == "cheb1":
                 # brackets on the Jacobi-scaled spectrum (AMGCL scale: true)
                 lo, hi = cheb_lower * rho_da, cheb_higher * rho_da
@@ -1006,14 +1031,14 @@ class AMGHierarchy:
             levels.append(AMGLevel(
                 A=A_dev,
                 P=None if structured else _maybe_tile(
-                    None, P, params, dtype,
+                    None, P_host, params, dtype,
                     fast_reduce=True, cache=dc["P"]),
                 R=None if structured else _maybe_tile(
-                    None, R, params, dtype,
+                    None, R_host, params, dtype,
                     fast_reduce=True, cache=dc["R"]),
                 theta=jnp.asarray((hi + lo) / 2.0, dtype=dtype),
                 delta=jnp.asarray((hi - lo) / 2.0, dtype=dtype),
-                Dinv=jnp.asarray(1.0 / d, dtype=dtype),
+                Dinv=jnp.asarray(Dinv_host, dtype=dtype),
                 w_smooth=jnp.asarray(w_used, dtype=dtype) if structured else None,
                 rho_da=jnp.asarray(1.02 * rho_da, dtype=dtype),
                 degree=degree,

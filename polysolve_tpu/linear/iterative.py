@@ -214,6 +214,7 @@ class KrylovSolver(Solver):
         self.pstate = None      # is tile-ELL; None ⇒ A_dev serves both
         self.mesh = None
         self._perm = None       # internal RCM permutation (tile-ELL path)
+        self._planar = None     # planar-tile layout info (block tile-ELL)
         self._iters = 0
         self._error = 0.0
         self._converged = False
@@ -385,6 +386,15 @@ class KrylovSolver(Solver):
         if self._perm is not None:  # tile-ELL solves in RCM-permuted space
             B = B[self._perm]
             X0 = X0[self._perm]
+        pl = getattr(self, "_planar", None)
+        if pl is not None:
+            # block tile-ELL: scatter into PLANAR solver slots (identity-
+            # padded to whole 128-node lanesets; pad rows solve 1·x = 0)
+            Bp = np.zeros((pl["n_pad"], B.shape[1]))
+            Bp[pl["inv"]] = B
+            Xp = np.zeros_like(Bp)
+            Xp[pl["inv"]] = X0
+            B, X0 = Bp, Xp
         refine = self._use_df64_refinement(dtype)
         if refine:
             out, iters, err, conv = self._solve_refined_block(B, X0, dtype)
@@ -421,6 +431,8 @@ class KrylovSolver(Solver):
             err = float(np.max(res.error))
             conv = bool(np.all(res.converged))
         self._iters, self._error, self._converged = iters, err, conv
+        if pl is not None:
+            out = out[pl["inv"]]
         if self._perm is not None:
             unperm = np.empty_like(out)
             unperm[self._perm] = out
@@ -466,9 +478,10 @@ class KrylovSolver(Solver):
         # unstructured AMG routes through the host-sweep loop below, whose
         # per-sweep programs are exactly the proven ones.
         from polysolve_tpu.linear.amg import AMGState
+        from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix as _TBM
         from polysolve_tpu.ops.tile_ell import TileELLMatrix as _TEM
 
-        fused_ok = not (isinstance(self.A_dev, _TEM)
+        fused_ok = not (isinstance(self.A_dev, (_TEM, _TBM))
                         and isinstance(self.pstate, AMGState))
         if k == 1 and fused_ok:
             b_df = df.from_f64(B64[:, 0])
@@ -567,6 +580,9 @@ def _amg_param_tree() -> Dict[str, Any]:
         # unstructured levels/transfers as Pallas tile-ELL on TPU (with an
         # internal RCM permutation of the whole problem); "auto"/"on"/"off"
         "tile_ell": {"type": "string", "default": "auto"},
+        # b×b-block tile-ELL for block systems (block_size 2-4): condensed
+        # node-graph packing + planar-tile vectors; "auto"/"on"/"off"
+        "tile_ell_block": {"type": "string", "default": "auto"},
         # levels with n <= dense_level are stored DENSE (one MXU matvec;
         # the ELL gather alternative measured 24.5 ms/mv at n=4096).
         # O(n²) memory: 64 MB fp32 per qualifying level at the default cap
@@ -730,6 +746,7 @@ class AMGSolver(KrylovSolver):
                 and np.array_equal(fc["in_indices"], self.A_host.indices))
         if same:
             self._perm = fc["perm"]
+            self._planar = fc.get("planar_info")
             if self._perm is not None:
                 A_work = sp.csr_matrix(
                     (self.A_host.data[fc["data_map"]],
@@ -740,7 +757,20 @@ class AMGSolver(KrylovSolver):
             self._A_work = A_work
             _ft["facade_prep_s"] = _time.perf_counter() - t0
             t0 = _time.perf_counter()
-            if fc.get("tile_plan") is not None:
+            res_src = A_work
+            if fc.get("dev_kind") == "block":
+                bplan, bof, boffs = fc["block_maps"]
+                data_pad = (np.concatenate([A_work.data,
+                                            np.ones(fc["pad_dofs"])])
+                            if fc["pad_dofs"] else A_work.data)
+                self.A_dev = tile_ell.repack_block_values(
+                    fc["dev"], bplan, bof, boffs, data_pad)
+                fc["dev"] = self.A_dev
+                res_src = sp.csr_matrix(
+                    (data_pad[fc["map_pl"]],
+                     fc["planar_pattern"][1], fc["planar_pattern"][0]),
+                    shape=(self._planar["n_pad"], self._planar["n_pad"]))
+            elif fc.get("tile_plan") is not None:
                 self.A_dev = tile_ell.repack_values(
                     fc["dev"], fc["tile_plan"], A_work.data)
                 fc["dev"] = self.A_dev
@@ -759,16 +789,17 @@ class AMGSolver(KrylovSolver):
                 self.A_dev = amg_mod._maybe_tile(self.A_dev, A_work,
                                                  amg_probe, self.A_dev.dtype)
             _ft["facade_convert_s"] = _time.perf_counter() - t0
-            if isinstance(self.A_dev, TileELLMatrix):
+            if fc.get("res_ell_plan") is not None:
                 ep = fc["res_ell_plan"]
                 vals = np.where(ep >= 0,
-                                A_work.data[np.maximum(ep, 0)], 0.0)
+                                res_src.data[np.maximum(ep, 0)], 0.0)
                 self.A_res = fc["res_ell"].replace(
                     vals=jnp.asarray(vals, dtype=fc["res_ell"].dtype))
                 fc["res_ell"] = self.A_res
-            self._build_res_lo(A_work)
+            self._build_res_lo(res_src)
         else:
             self._perm = None
+            self._planar = None
             A_work = self.A_host
             # unstructured + TPU: solve the whole problem in RCM-permuted
             # space so the hierarchy's levels and transfers pack into
@@ -833,7 +864,50 @@ class AMGSolver(KrylovSolver):
                           and (tile_mode in (True, "on")
                                or (_jax.default_backend() == "tpu"
                                    and A_work.shape[0] >= 4096)))
-            if wants_tile:
+            use_block = (wants_tile and bs in (2, 3, 4)
+                         and A_work.shape[0] % bs == 0
+                         and str(amg_probe.get("tile_ell_block", "auto"))
+                         not in ("off", "False"))
+            if use_block:
+                # BLOCK tile-ELL: b×b blocks on the condensed node graph in
+                # planar-tile vector layout (ops/tile_ell.py
+                # TileELLBlockMatrix) — one index pair + one gather pipeline
+                # pass per b² nnz; node spans are b× smaller in segments so
+                # the 128-segment window covers the band that splits scalar
+                # slot-rows. The system is padded with identity dummy nodes
+                # to a whole number of 128-node lanesets (the MAS padded-
+                # bank trick) so dof→slot is a pure injection.
+                nb = A_work.shape[0] // bs
+                nbp = -(-nb // 128)
+                pad_dofs = (nbp * 128 - nb) * bs
+                A_pad = (sp.block_diag(
+                    [A_work, sp.identity(pad_dofs, format="csr")],
+                    format="csr") if pad_dofs else A_work)
+                A_pad.sort_indices()
+                self.A_dev, bplan, bof, boffs = tile_ell.pack_block(
+                    A_pad, bs, dtype=dev.dtype)
+                dofs = np.arange(A_work.shape[0])
+                I, comp = dofs // bs, dofs % bs
+                inv = ((I // 128) * (bs * 128) + comp * 128
+                       + (I % 128)).astype(np.int64)
+                self._planar = {"inv": inv, "n_pad": nbp * 128 * bs,
+                                "bs": bs}
+                # planar-permuted CSR (df64 residual companion + lo plane):
+                # its data order maps from A_pad.data via the index trick
+                pfull = tile_ell.planar_perm(nbp * 128 * bs, bs)
+                A_pad_idx = sp.csr_matrix(
+                    (np.arange(1, A_pad.nnz + 1, dtype=np.float64),
+                     A_pad.indices, A_pad.indptr), shape=A_pad.shape)
+                A_pl_idx = A_pad_idx[pfull][:, pfull].tocsr()
+                A_pl_idx.sort_indices()
+                map_pl = A_pl_idx.data.astype(np.int64) - 1
+                fc.update({"dev": self.A_dev, "dev_kind": "block",
+                           "block_maps": (bplan, bof, boffs),
+                           "pad_dofs": pad_dofs, "map_pl": map_pl,
+                           "planar_pattern": (A_pl_idx.indptr,
+                                              A_pl_idx.indices),
+                           "planar_info": self._planar})
+            elif wants_tile:
                 # the facade would tile this: pack WITH the value plan
                 # (placement is pattern-only — _maybe_tile's decision rule,
                 # amg.py, inlined here to avoid packing twice)
@@ -851,7 +925,27 @@ class AMGSolver(KrylovSolver):
                     fc["dia_plan"] = k_of * A_work.shape[0] + C.row
                     fc["dev_kind"] = "dia"
             _ft["facade_convert_s"] = _time.perf_counter() - t0
-            if isinstance(self.A_dev, TileELLMatrix):
+            from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix
+
+            if isinstance(self.A_dev, TileELLBlockMatrix):
+                # df64 residual companion in PLANAR space (the layout the
+                # solver vectors live in)
+                data_pad = (np.concatenate([A_work.data,
+                                            np.ones(fc["pad_dofs"])])
+                            if fc["pad_dofs"] else A_work.data)
+                ip, ix = fc["planar_pattern"]
+                res_src = sp.csr_matrix((data_pad[fc["map_pl"]], ix, ip),
+                                        shape=(self._planar["n_pad"],
+                                               self._planar["n_pad"]))
+                self.A_res = ops.to_device_matrix(res_src, prefer="ell")
+                deg = np.diff(ip)
+                W = self.A_res.vals.shape[1]
+                karr = np.arange(W)[None, :]
+                fc["res_ell_plan"] = np.where(
+                    karr < deg[:, None], ip[:-1][:, None] + karr, -1)
+                fc["res_ell"] = self.A_res
+                self._build_res_lo(res_src)
+            elif isinstance(self.A_dev, TileELLMatrix):
                 self.A_res = ops.to_device_matrix(A_work, prefer="ell")
                 deg = np.diff(A_work.indptr)
                 W = self.A_res.vals.shape[1]
@@ -860,7 +954,9 @@ class AMGSolver(KrylovSolver):
                     karr < deg[:, None],
                     A_work.indptr[:-1][:, None] + karr, -1)
                 fc["res_ell"] = self.A_res
-            self._build_res_lo(A_work)
+                self._build_res_lo(A_work)
+            else:
+                self._build_res_lo(A_work)
         # nested "AMG" preconditioner block first (spec-injected defaults),
         # then the solver's own flat params — the user's `params["AMG"]`
         # subtree — win (they carry the explicit configuration)
@@ -899,6 +995,11 @@ class AMGSolver(KrylovSolver):
         if nullspace is not None and self._perm is not None:
             nullspace = np.asarray(nullspace).reshape(
                 A_work.shape[0], -1)[self._perm]
+        if getattr(self, "_planar", None) is not None:
+            # level-0 planarization: the hierarchy's finest level runs the
+            # facade's block operator and planar-indexed transfers/Dinv
+            amg_params["_planar"] = dict(
+                self._planar, level0_op=self.A_dev.with_fast_reduce())
         t0 = _time.perf_counter()
         self._hier = amg_mod.AMGHierarchy.setup(
             A_work, amg_params, block_size=bs, nullspace=nullspace,

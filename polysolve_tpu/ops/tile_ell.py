@@ -442,12 +442,14 @@ class TileELLBlockMatrix:
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """PLANAR-layout matvec: x and y are planar-tile vectors (see class
-        docstring). Callers own the boundary permutation."""
+        docstring), length planar_size(n, b). Callers own the boundary
+        permutation."""
         from polysolve_tpu.ops.spmv import use_pallas_dia as _on_tpu
 
+        npl = planar_size(self.shape[0], self.bdim)
         if _on_tpu():
-            return tile_block_matvec_pallas(self, x)
-        return tile_block_matvec_ref(self, x)
+            return tile_block_matvec_pallas(self, x)[: npl]
+        return tile_block_matvec_ref(self, x)[: npl]
 
     def rmatvec(self, y: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError("block tile-ELL is matvec-only")
@@ -637,12 +639,20 @@ def _tile_block_pallas(vals, r8, q8t, dt8, wb, super_of, x2d, n_super,
         @pl.when(new_win)
         def _():
             def scoped(xtmp, wsem):
+                # window bases are 8-aligned by the packer; (x//8)*8 makes
+                # that PROVABLE to Mosaic (the 384-lane x_hbm DMA otherwise
+                # fails "tile index in dimension 0 divisible by 8")
+                wb_al = (wb_s[c] // jnp.int32(8)) * jnp.int32(8)
                 cp = pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(wb_s[c], WIN), :], xtmp, wsem)
+                    x_hbm.at[pl.ds(wb_al, WIN), :], xtmp, wsem)
                 cp.start()
                 cp.wait()
                 for comp in range(BD):
-                    xwt[comp] = xtmp[:, comp * LANES:(comp + 1) * LANES].T
+                    # static sublane offsets (comp·128 ≡ 0 mod 8 — 2-D
+                    # scratch: Mosaic could not prove leading-dim tiling
+                    # for a (BD, 128, WIN) indexed store)
+                    xwt[comp * LANES:(comp + 1) * LANES, :] = \
+                        xtmp[:, comp * LANES:(comp + 1) * LANES].T
             pl.run_scoped(scoped, pltpu.VMEM((WIN, BD * LANES), dtype),
                           pltpu.SemaphoreType.DMA)
 
@@ -662,7 +672,8 @@ def _tile_block_pallas(vals, r8, q8t, dt8, wb, super_of, x2d, n_super,
             r_idx = r_ref[bi].astype(jnp.int32)
             per_cp = []
             for comp in range(BD):
-                G = jnp.take_along_axis(xwt[comp], qpad, axis=1)
+                G = jnp.take_along_axis(
+                    xwt[comp * LANES:(comp + 1) * LANES, :], qpad, axis=1)
                 compT = G.T[:CR]
                 per_cp.append(jnp.take_along_axis(compT, r_idx, axis=1))
             gs.append(per_cp)
@@ -703,7 +714,7 @@ def _tile_block_pallas(vals, r8, q8t, dt8, wb, super_of, x2d, n_super,
         out_specs=pl.BlockSpec((ST, BD * LANES),
                                lambda c, ss, wbs: (ss[c], 0)),
         scratch_shapes=[
-            pltpu.VMEM((BD, LANES, WIN), dtype),   # transposed windows
+            pltpu.VMEM((BD * LANES, WIN), dtype),  # transposed windows
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -208,7 +208,7 @@ def test_amg_tile_ell_path():
 
     from polysolve_tpu import meshgen
     from polysolve_tpu.linear import Solver
-    from polysolve_tpu.ops.tile_ell import TileELLMatrix
+    from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix, TileELLMatrix
 
     pts, cells = meshgen.delaunay_mesh(11, 11, 11, seed=3)
     K = meshgen.elasticity_stiffness(pts, cells)
@@ -222,10 +222,11 @@ def test_amg_tile_ell_path():
         s.analyze_pattern(K)
         s.factorize(K)
         if mode == "on":
-            assert isinstance(s.A_dev, TileELLMatrix)
+            # block_size=3 + tile on → the BLOCK tile path (planar level 0)
+            assert isinstance(s.A_dev, TileELLBlockMatrix)
             assert s._perm is not None
             lvl0 = s._hier.state.levels[0]
-            assert isinstance(lvl0.A, TileELLMatrix)
+            assert isinstance(lvl0.A, TileELLBlockMatrix)
             assert isinstance(lvl0.P, TileELLMatrix)
         xs[mode] = s.solve(b)
         rel = np.linalg.norm(K @ xs[mode] - b) / np.linalg.norm(b)

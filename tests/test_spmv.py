@@ -407,6 +407,7 @@ def test_amg_facade_refactorize_value_reuse(rng):
     s = Solver.create({"solver": "AMG",
                        "AMG": {"tolerance": 1e-8, "block_size": 3,
                                "structured": False, "tile_ell": "on",
+                               "tile_ell_block": "off",
                                "max_iter": 300}}, strict=False)
     s.analyze_pattern(A)
     s.factorize(A)
@@ -491,6 +492,37 @@ def test_tile_block_pallas_interpret(elastic3_node_rcm, rng):
     ref = A @ x
     tol = 1e-5 if M.dtype == jnp.float32 else 1e-10
     assert np.linalg.norm(yb - ref) < tol * np.linalg.norm(ref)
+
+
+def test_amg_facade_block_tile_path(rng):
+    """AMG facade with block_size=3 + tile_ell on engages the BLOCK
+    tile-ELL (planar-tile layout, identity-padded lanesets) end-to-end:
+    correct solutions, value-only refactorize, df64-refined tolerance."""
+    from polysolve_tpu import meshgen
+    from polysolve_tpu.linear import Solver
+    from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix
+
+    pts, cells = meshgen.delaunay_mesh(8, 8, 8, seed=6)
+    A = sp.csr_matrix(meshgen.elasticity_stiffness(pts, cells))
+    n = A.shape[0]
+    b = rng.standard_normal(n)
+    s = Solver.create({"solver": "AMG",
+                       "AMG": {"tolerance": 1e-8, "block_size": 3,
+                               "structured": False, "tile_ell": "on",
+                               "max_iter": 300}}, strict=False)
+    s.analyze_pattern(A)
+    s.factorize(A)
+    assert isinstance(s.A_dev, TileELLBlockMatrix)
+    x1 = s.solve(b)
+    assert np.linalg.norm(A @ x1 - b) < 1e-7 * np.linalg.norm(b)
+    fc = s._fcache
+    A2 = sp.csr_matrix(A + 0.05 * sp.diags(np.abs(A.diagonal())))
+    A2.sort_indices()
+    s.factorize(A2)
+    assert s._fcache is fc
+    x2 = s.solve(b)
+    assert np.linalg.norm(A2 @ x2 - b) < 1e-7 * np.linalg.norm(b)
+    assert np.linalg.norm(x1 - x2) > 1e-6 * np.linalg.norm(x1)
 
 
 def test_pallas_dia_fallback_no_nameerror(rng):
