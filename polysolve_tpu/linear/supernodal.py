@@ -548,9 +548,10 @@ def _factor_scan_flat(a_vals, a_blk, a_i, a_j, f_diag, f_cols, f_pan_blk,
 
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "m"))
+@functools.partial(jax.jit, static_argnames=("n_blocks", "m", "prec"))
 def _solve_scan_flat(blocks, dinv, f_diag, f_cols, f_pan_blk, f_pan_own,
-                     f_pan_row, B, n_blocks: int, m: int):
+                     f_pan_row, B, n_blocks: int, m: int,
+                     prec: str = "highest"):
     """Flat budgeted L Lᵀ X = B via the precomputed diagonal inverses —
     every step is batched GEMMs only (diag applies + panel SAXPYs); the
     per-step triangular solves were ~m sequential column ops each and
@@ -560,18 +561,21 @@ def _solve_scan_flat(blocks, dinv, f_diag, f_cols, f_pan_blk, f_pan_own,
     nb = B.shape[0]
     nrhs = B.shape[2]
     C = f_diag.shape[1]
+    # "highest" = 6-pass fp32-exact MXU dots (the default — direct-solver
+    # accuracy contract); "default" = single bf16 pass (the ~1e-3-grade
+    # fast path for preconditioner-internal solves)
+    PR = (jax.lax.Precision.HIGHEST if prec == "highest"
+          else jax.lax.Precision.DEFAULT)
     y = jnp.concatenate([B, jnp.zeros((1, m, nrhs), dtype=B.dtype)], axis=0)
 
     def fwd(y, xs):
         fd, fc, pb, po, prow = xs
-        yk = jnp.einsum("cij,cjr->cir", dinv[fc], y[fc],
-                        precision=jax.lax.Precision.HIGHEST)
+        yk = jnp.einsum("cij,cjr->cir", dinv[fc], y[fc], precision=PR)
         y = y.at[fc].set(yk)
         yk_ext = jnp.concatenate(
             [yk, jnp.zeros((1, m, nrhs), dtype=yk.dtype)], axis=0)
         Lo = blocks[pb]                                      # (P, m, m)
-        contrib = jnp.einsum("pij,pjr->pir", Lo, yk_ext[po],
-                             precision=jax.lax.Precision.HIGHEST)
+        contrib = jnp.einsum("pij,pjr->pir", Lo, yk_ext[po], precision=PR)
         return y.at[prow].add(-contrib), None
 
     xs = (f_diag, f_cols, f_pan_blk, f_pan_own, f_pan_row)
@@ -580,11 +584,10 @@ def _solve_scan_flat(blocks, dinv, f_diag, f_cols, f_pan_blk, f_pan_own,
     def bwd(x, xs):
         fd, fc, pb, po, prow = xs
         Lo = blocks[pb]
-        c = jnp.einsum("pij,pir->pjr", Lo, x[prow],
-                       precision=jax.lax.Precision.HIGHEST)  # (P, m, r)
+        c = jnp.einsum("pij,pir->pjr", Lo, x[prow], precision=PR)
         s = jnp.zeros((C + 1, m, nrhs), dtype=x.dtype).at[po].add(c)
         xk = jnp.einsum("cji,cjr->cir", dinv[fc], x[fc] - s[:C],
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=PR)
         return x.at[fc].set(xk), None
 
     x, _ = lax.scan(bwd, y, xs, reverse=True)
@@ -860,7 +863,8 @@ class SupernodalCholesky:
             jnp.asarray(s.f_pan_blk), jnp.asarray(s.f_pan_own),
             jnp.asarray(s.f_pan_row),
             jnp.asarray(Bp.reshape(s.nb, s.m, -1), dtype=default_dtype()),
-            n_blocks=s.n_blocks, m=s.m)
+            n_blocks=s.n_blocks, m=s.m,
+            prec=getattr(self, "solve_precision", "highest"))
         Xfull = np.asarray(X, dtype=np.float64).reshape(s.n_pad, -1)
         out = np.empty_like(B)
         out[s.perm] = Xfull[s.emb]
