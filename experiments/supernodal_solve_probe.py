@@ -48,19 +48,22 @@ def main():
     s.factorize(A)
     fac_s = time.perf_counter() - t0
     b = np.random.default_rng(0).standard_normal(n)
-    for prec in ("highest", "default"):
-        s.solve_precision = prec
-        s.solve(b)                      # compile
-        best = 1e9
-        for _ in range(4):
-            t0 = time.perf_counter()
-            x = s.solve(b)
-            best = min(best, time.perf_counter() - t0)
-        rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
-        log({"sec": "snl_solve_prec", "n": n, "prec": prec,
-             "solve_s": round(best, 3), "rel_residual": rel,
-             "analyze_s": round(an_s, 1), "factor_s": round(fac_s, 1),
-             "platform": jax.default_backend()})
+    for sched in ("level", "budget"):
+        for prec in ("highest",):
+            s.solve_precision = prec
+            s.solve_schedule = sched
+            s.solve(b)                      # compile
+            best = 1e9
+            for _ in range(4):
+                t0 = time.perf_counter()
+                x = s.solve(b)
+                best = min(best, time.perf_counter() - t0)
+            rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
+            log({"sec": "snl_solve_prec", "n": n, "prec": prec,
+                 "sched": sched,
+                 "solve_s": round(best, 3), "rel_residual": rel,
+                 "analyze_s": round(an_s, 1), "factor_s": round(fac_s, 1),
+                 "platform": jax.default_backend()})
 
 
 if __name__ == "__main__":

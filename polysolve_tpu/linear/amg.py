@@ -218,6 +218,17 @@ def _axis_radii(offsets, grid) -> Tuple[int, ...]:
     return tuple(r)
 
 
+@functools.lru_cache(maxsize=32)
+def _power_v0(n: int, dtype_name: str):
+    """Power-iteration start vector, DEVICE-CACHED per (n, dtype):
+    shipping a fresh host RNG vector through the tunnel cost ~2.5 s per
+    refactorize at n=7.08M (the round-4 'L0_power' line item). The exact
+    rng(0) vector is kept so the device-probed RAP path's ρ estimate stays
+    bit-comparable with the host spgemm path's (probe-parity tests)."""
+    v = np.random.default_rng(0).standard_normal(n)
+    return jnp.asarray(v, dtype=dtype_name)
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def _power_iter_dia(A_dev, Dinv, v0, iters: int = 20):
     """ρ(D⁻¹A) by device power iteration (the host scipy version cost ~14 s
@@ -756,6 +767,11 @@ class AMGHierarchy:
         probe_plans = []
         device_caches = []
         timings: Dict[str, float] = {}
+        # planar-tile block layout of the CURRENT level's device vector
+        # space (facade-injected for level 0; propagated to uniform-block
+        # coarse levels below — the 63k coarse level's scalar tile matvec
+        # ran at ~5 Gnnz/s window-span-bound and dominated the cycle)
+        planar_cur = params.get("_planar")
         total_nnz = A0.nnz
         Al, Bl = A0, B
         blk = max(int(block_size), 1)  # current level's block width
@@ -797,8 +813,7 @@ class AMGHierarchy:
                 if A_dev is not None:
                     d = np.where(d != 0, d, 1.0)
                     Dinv_dev = jnp.asarray(1.0 / d, dtype=dtype)
-                    v0 = jnp.asarray(np.random.default_rng(0).standard_normal(
-                        A_dev.shape[0]), dtype=dtype)
+                    v0 = _power_v0(A_dev.shape[0], jnp.dtype(dtype).name)
                     tag = f"L{len(levels)}_"
                     t0 = _time.perf_counter()
                     # refactorize (plan reuse): the spectrum moves slowly
@@ -966,27 +981,58 @@ class AMGHierarchy:
             # pathological — a K=1241 DIA at n=1754 unrolls 1241 shifted
             # FMAs per matvec (measured 280 ms/CG-iteration on the A0
             # fixture's blocks) — so keep the generic 64/0.55 rule there.
-            # PLANAR block path (facade-injected): level 0 runs the block
-            # tile-ELL operator in planar-tile vector layout — P's rows,
-            # R's cols and Dinv are re-indexed into solver slots so the
-            # whole cycle at this level speaks planar (no per-apply
-            # relayout); coarse levels stay node-contiguous
-            planar = params.get("_planar") if len(levels) == 0 else None
+            # PLANAR block path: a level whose vector space is planar-tile
+            # (facade-injected level 0, or a propagated uniform-block
+            # coarse level) runs the BLOCK tile-ELL operator; P's
+            # rows/cols, R's rows/cols and Dinv are re-indexed into the
+            # fine/coarse planar slots so the whole cycle speaks planar
+            # with no per-apply relayout.
+            planar = planar_cur if not structured else None
+            # does the COARSE level (P's column space) go planar too?
+            on_tpu_lvl = jax.default_backend() == "tpu"
+            tile_on = (params.get("tile_ell") in (True, "on")
+                       or (on_tpu_lvl
+                           and params.get("tile_ell") not in (False, "off")))
+            nc = P.shape[1]
+            planar_next = None
+            if (not structured and tile_on and blk in (2, 3, 4)
+                    and str(params.get("tile_ell_block", "auto"))
+                    not in ("off", "False")
+                    and nc % blk == 0
+                    and nc > max(int(params.get("dense_level", 4096)),
+                                 coarse_enough)):
+                dofs_c = np.arange(nc)
+                Ic, compc = dofs_c // blk, dofs_c % blk
+                inv_c = ((Ic // 128) * (blk * 128) + compc * 128
+                         + (Ic % 128)).astype(np.int64)
+                planar_next = {"inv": inv_c,
+                               "n_pad": (-(-(nc // blk) // 128)) * 128 * blk,
+                               "blk": blk}
             P_host, R_host, Dinv_host = P, R, 1.0 / d
-            if planar is not None:
-                inv = planar["inv"]
-                n_pad = planar["n_pad"]
-                A_dev = planar["level0_op"]
+            if planar is not None or planar_next is not None:
                 Pc = sp.coo_matrix(P)
-                P_host = sp.csr_matrix(
-                    (Pc.data, (inv[Pc.row], Pc.col)),
-                    shape=(n_pad, P.shape[1]))
+                prow = planar["inv"][Pc.row] if planar else Pc.row
+                pcol = (planar_next["inv"][Pc.col] if planar_next
+                        else Pc.col)
+                pshape = (planar["n_pad"] if planar else P.shape[0],
+                          planar_next["n_pad"] if planar_next
+                          else P.shape[1])
+                P_host = sp.csr_matrix((Pc.data, (prow, pcol)),
+                                       shape=pshape)
                 Rc = sp.coo_matrix(R)
-                R_host = sp.csr_matrix(
-                    (Rc.data, (Rc.row, inv[Rc.col])),
-                    shape=(R.shape[0], n_pad))
-                Dinv_host = np.ones(n_pad)
-                Dinv_host[inv] = 1.0 / d
+                rrow = (planar_next["inv"][Rc.row] if planar_next
+                        else Rc.row)
+                rcol = planar["inv"][Rc.col] if planar else Rc.col
+                R_host = sp.csr_matrix((Rc.data, (rrow, rcol)),
+                                       shape=(pshape[1], pshape[0]))
+            if planar is not None:
+                Dinv_host = np.ones(planar["n_pad"])
+                Dinv_host[planar["inv"]] = 1.0 / d
+                if "level0_op" in planar:
+                    A_dev = planar["level0_op"]
+                else:
+                    A_dev = _maybe_block_tile(Al, planar, dtype,
+                                              cache=dc["A"])
             else:
                 on_tpu_lvl = jax.default_backend() == "tpu"
                 dia_cap = (min(2048,
@@ -1051,10 +1097,22 @@ class AMGHierarchy:
             sizes.append(Al.shape[0])
             total_nnz += Al.nnz
             grid = tuple(g // 2 for g in grid) if structured else None
+            planar_cur = None if structured else planar_next
 
         t0 = _time.perf_counter()
+        Ac_dense = Al.toarray() if not isinstance(Al, np.ndarray) else Al
+        if planar_cur is not None:
+            # the hierarchy ended on a level whose vector space is planar
+            # (max_levels exhausted before the dense threshold): the dense
+            # coarse solve must live in the same slots — permute + pad
+            # with identity rows
+            inv = planar_cur["inv"]
+            n_pad = planar_cur["n_pad"]
+            Ad = np.eye(n_pad, dtype=Ac_dense.dtype)
+            Ad[np.ix_(inv, inv)] = Ac_dense
+            Ac_dense = Ad
         state = AMGState(levels=tuple(levels),
-                         coarse_inv=_dense_inv(Al.toarray(), dtype),
+                         coarse_inv=_dense_inv(Ac_dense, dtype),
                          ncycle=max(ncycle, 1),
                          pre_cycles=max(int(params.get("pre_max_iter", 1)), 1))
         timings["coarse_inv_s"] = _time.perf_counter() - t0
@@ -1066,6 +1124,38 @@ class AMGHierarchy:
                             operator_complexity=total_nnz / max(A0.nnz, 1),
                             aggregates=aggregates, probe_plans=probe_plans,
                             timings=timings, device_caches=device_caches)
+
+
+def _maybe_block_tile(Al, planar: dict, dtype,
+                      cache: Optional[dict] = None):
+    """Block tile-ELL for a PLANARIZED hierarchy level: pad with identity
+    dummy nodes to the planar slot count, pack b×b node blocks (value-plan
+    cached for refactorize), fast single-pass reduce (preconditioner-
+    internal accuracy class)."""
+    from polysolve_tpu.ops import tile_ell
+
+    blk = planar["blk"]
+    n_pad = planar["n_pad"]
+    pad = n_pad - Al.shape[0]
+    A_pad = (sp.block_diag([sp.csr_matrix(Al),
+                            sp.identity(pad, format="csr")], format="csr")
+             if pad else sp.csr_matrix(Al))
+    A_pad.sum_duplicates()
+    A_pad.sort_indices()
+    if cache is not None:
+        key = (A_pad.shape, A_pad.nnz,
+               hash(A_pad.indptr.tobytes())
+               ^ hash(A_pad.indices.tobytes()))
+        if cache.get("bkey") == key:
+            M = tile_ell.repack_block_values(
+                cache["bM"], *cache["bmaps"], A_pad.data)
+            cache["bM"] = M
+            return M.with_fast_reduce()
+        M, plan, bof, boffs = tile_ell.pack_block(A_pad, blk, dtype=dtype)
+        cache.update({"bkey": key, "bM": M, "bmaps": (plan, bof, boffs)})
+        return M.with_fast_reduce()
+    M, _, _, _ = tile_ell.pack_block(A_pad, blk, dtype=dtype)
+    return M.with_fast_reduce()
 
 
 def _maybe_tile(dev, A_host, params, dtype, fast_reduce: bool = False,

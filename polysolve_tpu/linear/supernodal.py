@@ -208,6 +208,16 @@ class BlockSymbolic:
     # COLUMN of each diagonal slot and the block ROW of each panel slot
     f_cols: Optional[np.ndarray] = None    # (ns, C) block-col ids (pad nb)
     f_pan_row: Optional[np.ndarray] = None  # (ns, P) panel block rows (pad nb)
+    # SOLVE-specific schedule (round 5): one step per elimination-tree
+    # level, no memory budgets — the solve's per-step work is tiny
+    # mat-vecs, so the factor schedule's 163 budgeted steps ran ~0.7 ms of
+    # launch/scatter latency EACH (0.23 s total); level-merged steps cut
+    # the scan length to n_levels (VERDICT r4 #6: solve ≤ 0.1 s)
+    s_diag: Optional[np.ndarray] = None
+    s_cols: Optional[np.ndarray] = None
+    s_pan_blk: Optional[np.ndarray] = None
+    s_pan_own: Optional[np.ndarray] = None
+    s_pan_row: Optional[np.ndarray] = None
 
     @property
     def n_pad(self) -> int:
@@ -453,6 +463,31 @@ def analyze(A: sp.spmatrix, m: int = 32,
             f_upd_d[t, up:up + len(ua)] = ud
             up += len(ua)
 
+    # ---- solve schedule: one step per etree level (no budgets) ----
+    s_steps = []
+    pos = 0
+    for wlev in widths:
+        s_steps.append([int(j) for j in order_lv[pos:pos + int(wlev)]])
+        pos += int(wlev)
+    ns_s = max(len(s_steps), 1)
+    sC = max((len(c) for c in s_steps), default=1)
+    sP = max((sum(int(ws[j]) for j in c) for c in s_steps), default=1)
+    s_diag = np.full((ns_s, sC), n_blocks, np.int32)
+    s_cols = np.full((ns_s, sC), nb, np.int32)
+    s_pan_blk = np.full((ns_s, sP), n_blocks, np.int32)
+    s_pan_own = np.full((ns_s, sP), sC, np.int32)
+    s_pan_row = np.full((ns_s, sP), nb, np.int32)
+    for t, cols_t in enumerate(s_steps):
+        pp = 0
+        for slot, j in enumerate(cols_t):
+            s_diag[t, slot] = diag_ids[j]
+            s_cols[t, slot] = j
+            w = int(ws[j])
+            s_pan_blk[t, pp:pp + w] = col_ids[j, :w]
+            s_pan_own[t, pp:pp + w] = slot
+            s_pan_row[t, pp:pp + w] = col_rows[j, :w]
+            pp += w
+
     mem = (n_blocks + 1) * m * m * 8 / 2 ** 20
     return BlockSymbolic(
         perm=perm, m=m, nb=nb, n=n, n_blocks=n_blocks, Wmax=Wmax,
@@ -463,6 +498,8 @@ def analyze(A: sp.spmatrix, m: int = 32,
         f_diag=f_diag, f_pan_blk=f_pan_blk, f_pan_own=f_pan_own,
         f_upd_a=f_upd_a, f_upd_b=f_upd_b, f_upd_d=f_upd_d,
         f_cols=f_cols, f_pan_row=f_pan_row,
+        s_diag=s_diag, s_cols=s_cols, s_pan_blk=s_pan_blk,
+        s_pan_own=s_pan_own, s_pan_row=s_pan_row,
     )
 
 
@@ -568,15 +605,35 @@ def _solve_scan_flat(blocks, dinv, f_diag, f_cols, f_pan_blk, f_pan_own,
           else jax.lax.Precision.DEFAULT)
     y = jnp.concatenate([B, jnp.zeros((1, m, nrhs), dtype=B.dtype)], axis=0)
 
+    def _oh_add(y2, ids, V):
+        """y2 += Σ_p 1[ids[p] == row]·V[p] as a one-hot MXU matmul (the
+        tile-ELL dest-reduce trick). XLA scatters on TPU cost ~0.5 ms per
+        scan step regardless of payload — they dominated the 0.23 s solve
+        at 163 steps; this dot is a few µs even at fp32-exact precision."""
+        oh = (jax.lax.broadcasted_iota(
+            jnp.int32, (nb + 1, ids.shape[0]), 0)
+            == ids[None, :].astype(jnp.int32)).astype(V.dtype)
+        return y2 + jnp.dot(oh, V, preferred_element_type=V.dtype,
+                            precision=PR)
+
     def fwd(y, xs):
         fd, fc, pb, po, prow = xs
-        yk = jnp.einsum("cij,cjr->cir", dinv[fc], y[fc], precision=PR)
-        y = y.at[fc].set(yk)
+        yfc = y[fc]                                          # (C, m, r)
+        yk = jnp.einsum("cij,cjr->cir", dinv[fc], yfc, precision=PR)
+        y2 = y.reshape(nb + 1, m * nrhs)
+        # pad rows MUST be exact zeros: 0·NaN = NaN in the one-hot dot
+        # (a scatter only wrote where indexed; the matmul reads every row)
+        dlt = jnp.where((fc < nb)[:, None],
+                        (yk - yfc).reshape(C, m * nrhs), 0.0)
+        y2 = _oh_add(y2, fc, dlt)
         yk_ext = jnp.concatenate(
             [yk, jnp.zeros((1, m, nrhs), dtype=yk.dtype)], axis=0)
         Lo = blocks[pb]                                      # (P, m, m)
         contrib = jnp.einsum("pij,pjr->pir", Lo, yk_ext[po], precision=PR)
-        return y.at[prow].add(-contrib), None
+        cflat = jnp.where((prow < nb)[:, None],
+                          contrib.reshape(contrib.shape[0], m * nrhs), 0.0)
+        y2 = _oh_add(y2, prow, -cflat)
+        return y2.reshape(nb + 1, m, nrhs), None
 
     xs = (f_diag, f_cols, f_pan_blk, f_pan_own, f_pan_row)
     y, _ = lax.scan(fwd, y, xs)
@@ -585,10 +642,23 @@ def _solve_scan_flat(blocks, dinv, f_diag, f_cols, f_pan_blk, f_pan_own,
         fd, fc, pb, po, prow = xs
         Lo = blocks[pb]
         c = jnp.einsum("pij,pir->pjr", Lo, x[prow], precision=PR)
-        s = jnp.zeros((C + 1, m, nrhs), dtype=x.dtype).at[po].add(c)
-        xk = jnp.einsum("cji,cjr->cir", dinv[fc], x[fc] - s[:C],
+        # owner-slot reduce (P → C+1) as a one-hot dot as well
+        ohp = (jax.lax.broadcasted_iota(
+            jnp.int32, (C + 1, po.shape[0]), 0)
+            == po[None, :].astype(jnp.int32)).astype(c.dtype)
+        c2 = jnp.where((prow < nb)[:, None],
+                       c.reshape(c.shape[0], m * nrhs), 0.0)
+        s = jnp.dot(ohp, c2, preferred_element_type=c2.dtype,
+                    precision=PR)
+        s = s.reshape(C + 1, m, nrhs)
+        xfc = x[fc]
+        xk = jnp.einsum("cji,cjr->cir", dinv[fc], xfc - s[:C],
                         precision=PR)
-        return x.at[fc].set(xk), None
+        x2 = x.reshape(nb + 1, m * nrhs)
+        dlt = jnp.where((fc < nb)[:, None],
+                        (xk - xfc).reshape(C, m * nrhs), 0.0)
+        x2 = _oh_add(x2, fc, dlt)
+        return x2.reshape(nb + 1, m, nrhs), None
 
     x, _ = lax.scan(bwd, y, xs, reverse=True)
     return x[:nb]
@@ -857,11 +927,23 @@ class SupernodalCholesky:
         B = b.reshape(s.n, -1)
         Bp = np.zeros((s.n_pad, B.shape[1]))
         Bp[s.emb] = B[s.perm]
+        # level-merged solve schedule (s_*) when present: n_levels steps
+        # instead of the factor schedule's budgeted ones (the solve is
+        # step-latency-bound — measured 0.7 ms/step regardless of width)
+        # getattr: disk-cached symbolic objects from older rounds lack s_*
+        # measured at n=110k (supernodal_solve_probe_results.jsonl): budget
+        # schedule + one-hot reduces = 0.163 s; level-merged = 0.344 s (its
+        # max-width padding outweighs the step-count saving) — budget is
+        # the default, "level" kept selectable for the probe's record
+        use_s = (getattr(s, "s_diag", None) is not None
+                 and getattr(self, "solve_schedule", "budget") == "level")
         X = _solve_scan_flat(
             self.blocks, self.diag_inv,
-            jnp.asarray(s.f_diag), jnp.asarray(s.f_cols),
-            jnp.asarray(s.f_pan_blk), jnp.asarray(s.f_pan_own),
-            jnp.asarray(s.f_pan_row),
+            jnp.asarray(s.s_diag if use_s else s.f_diag),
+            jnp.asarray(s.s_cols if use_s else s.f_cols),
+            jnp.asarray(s.s_pan_blk if use_s else s.f_pan_blk),
+            jnp.asarray(s.s_pan_own if use_s else s.f_pan_own),
+            jnp.asarray(s.s_pan_row if use_s else s.f_pan_row),
             jnp.asarray(Bp.reshape(s.nb, s.m, -1), dtype=default_dtype()),
             n_blocks=s.n_blocks, m=s.m,
             prec=getattr(self, "solve_precision", "highest"))

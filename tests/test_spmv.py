@@ -525,6 +525,39 @@ def test_amg_facade_block_tile_path(rng):
     assert np.linalg.norm(x1 - x2) > 1e-6 * np.linalg.norm(x1)
 
 
+def test_amg_multilevel_planar_block_levels(rng):
+    """Uniform-block COARSE levels also run block tile-ELL in planar
+    layout (the 63k coarse level's scalar-tile matvec was ~5 Gnnz/s
+    window-span-bound and dominated the cycle): with a low dense_level
+    both hierarchy levels pack as TileELLBlockMatrix and the solve +
+    value-reuse stay correct."""
+    from polysolve_tpu import meshgen
+    from polysolve_tpu.linear import Solver
+    from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix
+
+    pts, cells = meshgen.delaunay_mesh(12, 12, 12, seed=6)
+    A = sp.csr_matrix(meshgen.elasticity_stiffness(pts, cells))
+    n = A.shape[0]
+    b = rng.standard_normal(n)
+    s = Solver.create({"solver": "AMG",
+                       "AMG": {"tolerance": 1e-8, "block_size": 3,
+                               "structured": False, "tile_ell": "on",
+                               "dense_level": 128, "coarse_enough": 100,
+                               "max_iter": 400}}, strict=False)
+    s.analyze_pattern(A)
+    s.factorize(A)
+    lvls = s._hier.state.levels
+    assert all(isinstance(l.A, TileELLBlockMatrix) for l in lvls), \
+        [type(l.A).__name__ for l in lvls]
+    x = s.solve(b)
+    assert np.linalg.norm(A @ x - b) < 1e-7 * np.linalg.norm(b)
+    A2 = sp.csr_matrix(A + 0.05 * sp.diags(np.abs(A.diagonal())))
+    A2.sort_indices()
+    s.factorize(A2)
+    x2 = s.solve(b)
+    assert np.linalg.norm(A2 @ x2 - b) < 1e-7 * np.linalg.norm(b)
+
+
 def test_pallas_dia_fallback_no_nameerror(rng):
     """pallas_dia_matvec's inadmissible-tile fallback must resolve
     dia_matvec (regression: NameError on AMG coarse DIA levels on TPU)."""
