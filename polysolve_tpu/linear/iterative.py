@@ -450,10 +450,18 @@ class KrylovSolver(Solver):
         if mode in (False, "off"):
             return False
         # auto: fp32 device math but a tolerance fp32 cannot reach
+        from polysolve_tpu.ops.tile_ell import (TileELLBlockMatrix,
+                                                TileELLMatrix)
         from polysolve_tpu.types import ELLMatrix, DIAMatrix
 
         has_res = (isinstance(self.A_dev, (ELLMatrix, DIAMatrix))
-                   or self.A_res is not None)
+                   or self.A_res is not None
+                   # tile formats refine through exact HOST fp64 residuals
+                   # (scipy csr matvec ~0.3 s at 49M nnz vs 1.5+ s on the
+                   # 0.13 Gnnz/s ELL-gather companion)
+                   or (isinstance(self.A_dev,
+                                  (TileELLMatrix, TileELLBlockMatrix))
+                       and getattr(self, "_A_work", None) is not None))
         return dtype == jnp.float32 and self._tol() < 1e-6 and has_res
 
     def _solve_refined_block(self, B64, X064, dtype):
@@ -504,7 +512,46 @@ class KrylovSolver(Solver):
         total_iters = 0
         err = np.full(k, np.inf)
         is_ell = isinstance(A_res, ELLMatrix)
+        # tile-format operators: the residual is EXACT host fp64 (scipy
+        # csr over the solver-space matrix) — the device alternative was
+        # the 0.13 Gnnz/s ELL-gather companion, which dominated the
+        # refined-solve wall at 1M rows. The loop already round-trips
+        # through the host, so this adds no extra transfers.
+        from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix as _TB
+        A_w = getattr(self, "_A_work", None)
+        host_resid = (A_w is not None
+                      and isinstance(self.A_dev, (_TEM, _TB)))
+        pl = getattr(self, "_planar", None)
         for _ in range(max_outer):
+            if host_resid:
+                if pl is not None:
+                    inv = pl["inv"]
+                    Rw = B64[inv] - A_w @ X64[inv]
+                    r64 = np.zeros_like(B64)
+                    r64[inv] = Rw
+                else:
+                    r64 = B64 - A_w @ X64
+                err = np.linalg.norm(r64, axis=0) / bnorm
+                if np.all(err <= tol):
+                    break
+                run = _run_krylov if k == 1 else _run_krylov_multi
+                res = run(
+                    self.driver, self.A_dev, self.pstate,
+                    self._shard_rows(jnp.asarray(
+                        r64 if k > 1 else r64[:, 0], dtype=dtype)),
+                    self._shard_rows(jnp.zeros(
+                        B64.shape if k > 1 else B64.shape[0], dtype=dtype)),
+                    jnp.asarray(inner_tol, dtype=dtype),
+                    jnp.int32(self._max_iter()),
+                    atol=jnp.asarray(0.0, dtype=dtype),
+                    restart=int(self.params.get("restart", 30)),
+                )
+                d = np.asarray(res.x, dtype=np.float64).reshape(B64.shape)
+                if not np.all(np.isfinite(d)):
+                    break
+                X64 = X64 + d
+                total_iters += int(np.max(res.iterations))
+                continue
             # one jitted device program per residual sweep (eager df64 ops
             # would be dozens of separate dispatches — pathological on
             # remote backends)
@@ -766,10 +813,6 @@ class AMGSolver(KrylovSolver):
                 self.A_dev = tile_ell.repack_block_values(
                     fc["dev"], bplan, bof, boffs, data_pad)
                 fc["dev"] = self.A_dev
-                res_src = sp.csr_matrix(
-                    (data_pad[fc["map_pl"]],
-                     fc["planar_pattern"][1], fc["planar_pattern"][0]),
-                    shape=(self._planar["n_pad"], self._planar["n_pad"]))
             elif fc.get("tile_plan") is not None:
                 self.A_dev = tile_ell.repack_values(
                     fc["dev"], fc["tile_plan"], A_work.data)
@@ -789,14 +832,20 @@ class AMGSolver(KrylovSolver):
                 self.A_dev = amg_mod._maybe_tile(self.A_dev, A_work,
                                                  amg_probe, self.A_dev.dtype)
             _ft["facade_convert_s"] = _time.perf_counter() - t0
-            if fc.get("res_ell_plan") is not None:
-                ep = fc["res_ell_plan"]
-                vals = np.where(ep >= 0,
-                                res_src.data[np.maximum(ep, 0)], 0.0)
-                self.A_res = fc["res_ell"].replace(
-                    vals=jnp.asarray(vals, dtype=fc["res_ell"].dtype))
-                fc["res_ell"] = self.A_res
-            self._build_res_lo(res_src)
+            from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix
+
+            if isinstance(self.A_dev, (TileELLBlockMatrix, TileELLMatrix)):
+                self.A_res = None        # host fp64 residuals (see above)
+                self.A_res_lo = None
+            else:
+                if fc.get("res_ell_plan") is not None:
+                    ep = fc["res_ell_plan"]
+                    vals = np.where(ep >= 0,
+                                    res_src.data[np.maximum(ep, 0)], 0.0)
+                    self.A_res = fc["res_ell"].replace(
+                        vals=jnp.asarray(vals, dtype=fc["res_ell"].dtype))
+                    fc["res_ell"] = self.A_res
+                self._build_res_lo(res_src)
         else:
             self._perm = None
             self._planar = None
@@ -927,34 +976,14 @@ class AMGSolver(KrylovSolver):
             _ft["facade_convert_s"] = _time.perf_counter() - t0
             from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix
 
-            if isinstance(self.A_dev, TileELLBlockMatrix):
-                # df64 residual companion in PLANAR space (the layout the
-                # solver vectors live in)
-                data_pad = (np.concatenate([A_work.data,
-                                            np.ones(fc["pad_dofs"])])
-                            if fc["pad_dofs"] else A_work.data)
-                ip, ix = fc["planar_pattern"]
-                res_src = sp.csr_matrix((data_pad[fc["map_pl"]], ix, ip),
-                                        shape=(self._planar["n_pad"],
-                                               self._planar["n_pad"]))
-                self.A_res = ops.to_device_matrix(res_src, prefer="ell")
-                deg = np.diff(ip)
-                W = self.A_res.vals.shape[1]
-                karr = np.arange(W)[None, :]
-                fc["res_ell_plan"] = np.where(
-                    karr < deg[:, None], ip[:-1][:, None] + karr, -1)
-                fc["res_ell"] = self.A_res
-                self._build_res_lo(res_src)
-            elif isinstance(self.A_dev, TileELLMatrix):
-                self.A_res = ops.to_device_matrix(A_work, prefer="ell")
-                deg = np.diff(A_work.indptr)
-                W = self.A_res.vals.shape[1]
-                karr = np.arange(W)[None, :]
-                fc["res_ell_plan"] = np.where(
-                    karr < deg[:, None],
-                    A_work.indptr[:-1][:, None] + karr, -1)
-                fc["res_ell"] = self.A_res
-                self._build_res_lo(A_work)
+            if isinstance(self.A_dev, (TileELLBlockMatrix, TileELLMatrix)):
+                # tile formats refine through EXACT host fp64 residuals
+                # (scipy csr over _A_work — _solve_refined_block); the
+                # 0.13 Gnnz/s ELL-gather companion and its lo plane are
+                # no longer built (saved ~10 s of facade convert and
+                # ~600 MB at 1M rows)
+                self.A_res = None
+                self.A_res_lo = None
             else:
                 self._build_res_lo(A_work)
         # nested "AMG" preconditioner block first (spec-injected defaults),
