@@ -333,8 +333,15 @@ def _bench_supernodal():
         x = s.solve(b)
         t_sol = min(t_sol, time.perf_counter() - t0)
     rel = float(np.linalg.norm(A @ x - b) / np.linalg.norm(b))
+    plan = s._solve_plan or {}
     return {
         "n": n, "nb": sym.nb, "steps": int(sym.f_diag.shape[0]),
+        "solve_sched": {
+            "kind": "tail",
+            "front_levels": plan.get("steps_front"),
+            "levels_folded_into_dense_tail": plan.get("steps_folded"),
+            "dense_tail_dofs": (plan.get("Td") or 0) * s.tile,
+        },
         "tile": s.tile,
         "flops_G": round(sym.flops / 1e9, 1),
         "analyze_cold_s": round(t_an_cold, 1),

@@ -48,7 +48,7 @@ def main():
     s.factorize(A)
     fac_s = time.perf_counter() - t0
     b = np.random.default_rng(0).standard_normal(n)
-    for sched in ("level", "budget"):
+    for sched in ("tail", "budget"):
         for prec in ("highest",):
             s.solve_precision = prec
             s.solve_schedule = sched

@@ -614,7 +614,8 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
             # value changes grew the stencil beyond last factorize's kept
             # set (possible after cancellation): fall back to a fresh prune
             plan = None
-    if plan is None or plan.kept is None:
+    reused_plan = plan is not None and plan.kept is not None
+    if not reused_plan:
         keep = np.flatnonzero(counts > 0)
         if 0 not in offs_pad[keep]:                   # diagonal must exist
             keep = np.sort(np.append(keep, int(np.searchsorted(offs_pad, 0))))
@@ -622,16 +623,26 @@ def _probe_structured_rap(A_dev, Dinv_dev, w, grid, dtype,
     vals_kept = jnp.take(vals, jnp.asarray(keep), axis=0)
     nnz_count = int(counts[keep].sum())
 
-    # verification: probed DIA must reproduce the composed operator
-    from polysolve_tpu.types import DIAMatrix
+    # verification: probed DIA must reproduce the composed operator.
+    # Skipped on a reused plan (refactorize): the extraction masks are
+    # purely GEOMETRIC (value-independent, proven at setup for this
+    # pattern), and the kept-set growth check above already catches the
+    # only value-dependent hazard (cancellation-grown stencils) — the
+    # re-verify cost 1.14 s of every 7.08M refactorize (VERDICT r4 #4).
+    if reused_plan:
+        rel = 0.0
+    else:
+        from polysolve_tpu.types import DIAMatrix
 
-    Ac = DIAMatrix(vals=vals_kept, offsets=tuple(int(o) for o in offs_kept),
-                   shape=(n_c, n_c), nnz=max(nnz_count, 1))
-    rel = _verify_rel(
-        yz,
-        lambda zz: np.asarray(
-            _dia_action(vals_kept, jnp.asarray(offs_kept, jnp.int32),
-                        jnp.asarray(zz, dtype=dtype)), dtype=np.float64), z)
+        Ac = DIAMatrix(vals=vals_kept,
+                       offsets=tuple(int(o) for o in offs_kept),
+                       shape=(n_c, n_c), nnz=max(nnz_count, 1))
+        rel = _verify_rel(
+            yz,
+            lambda zz: np.asarray(
+                _dia_action(vals_kept, jnp.asarray(offs_kept, jnp.int32),
+                            jnp.asarray(zz, dtype=dtype)),
+                dtype=np.float64), z)
     verify_s = _time.perf_counter() - t0
     _tacc(timings, tag, "probe_extract_s", probe_s)
     _tacc(timings, tag, "verify_s", verify_s)
@@ -735,6 +746,7 @@ class AMGHierarchy:
         we re-coarsen only values (SURVEY.md §7 hard-part #2)."""
         import time as _time
 
+        _t_setup0 = _time.perf_counter()
         params = params or {}
         max_levels = int(params.get("max_levels", 6))
         coarse_enough = int(params.get("coarse_enough", 500))
@@ -795,6 +807,18 @@ class AMGHierarchy:
 
                 if isinstance(Al, _DiaCarrier):
                     A_dev = Al.to_dia_matrix(dtype)
+                    d = Al.diagonal()
+                elif (len(levels) == 0
+                        and isinstance(params.get("_level0_dev"), _DIA)
+                        and params["_level0_dev"].shape == Al.shape
+                        and params["_level0_dev"].dtype == dtype):
+                    # facade-injected fine operator: the facade already
+                    # converted+uploaded this exact matrix (facade_convert);
+                    # re-running to_device_matrix here duplicated the host
+                    # DIA extraction AND a second ~200 MB tunnel upload per
+                    # refactorize at 7.08M (it hid in setup_untimed_s and
+                    # the L0_power readback tail — VERDICT r4 #4)
+                    A_dev = params["_level0_dev"]
                     d = Al.diagonal()
                 else:
                     dia_cap = (min(2048, max(64, (256 << 20)
@@ -1116,6 +1140,14 @@ class AMGHierarchy:
                          ncycle=max(ncycle, 1),
                          pre_cycles=max(int(params.get("pre_max_iter", 1)), 1))
         timings["coarse_inv_s"] = _time.perf_counter() - t0
+        # catch-all: wall − Σ top-level phases = aggregation/strength/
+        # carrier-packing/state-build time not covered by a named timer
+        # (VERDICT r4 #4: the refactorize budget must be fully attributed)
+        wall = _time.perf_counter() - _t_setup0
+        named = sum(v for k, v in timings.items()
+                    if not k.startswith("L") and k.endswith("_s"))
+        timings["setup_wall_s"] = wall
+        timings["setup_untimed_s"] = wall - named
         if logger:
             logger.debug("AMG hierarchy: sizes=%s complexity=%.2f timings=%s",
                          sizes, total_nnz / max(A0.nnz, 1),

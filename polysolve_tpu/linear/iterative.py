@@ -321,10 +321,23 @@ class KrylovSolver(Solver):
         if default_dtype() != jnp.float32:
             return
         A_res = self.A_res if self.A_res is not None else self.A_dev
-        data64 = A_work.data.astype(np.float64)
-        lo_data = data64 - data64.astype(np.float32).astype(np.float64)
-        if not np.any(lo_data):
+        data64 = np.asarray(A_work.data, dtype=np.float64)
+        # chunked fp32-exactness check: the one-shot
+        # `data64 - data64.astype(f32).astype(f64)` materialized three
+        # full-nnz temporaries (~3.7 GB of traffic at 49M nnz — measured
+        # 2.75 s of every 7.08M refactorize on a matrix whose stencil is
+        # exact); chunking keeps temporaries small and exits early on the
+        # first inexact chunk
+        CH = 1 << 20
+        exact = True
+        for i in range(0, len(data64), CH):
+            c = data64[i:i + CH]
+            if np.any(c.astype(np.float32).astype(np.float64) != c):
+                exact = False
+                break
+        if exact:
             return                      # fp32-exact values: plane is zero
+        lo_data = data64 - data64.astype(np.float32).astype(np.float64)
         A_lo = sp.csr_matrix((lo_data, A_work.indices, A_work.indptr),
                              shape=A_work.shape)
         if isinstance(A_res, ELLMatrix):
@@ -773,7 +786,8 @@ class AMGSolver(KrylovSolver):
         from polysolve_tpu.ops.tile_ell import TileELLMatrix
 
         _ft: Dict[str, float] = {}
-        t0 = _time.perf_counter()
+        _t_fac0 = _time.perf_counter()
+        t0 = _t_fac0
         bs = int(self.params.get("block_size", self.block_size))
         self.block_size = bs
         self.A_host = sp.csr_matrix(A)
@@ -832,6 +846,7 @@ class AMGSolver(KrylovSolver):
                 self.A_dev = amg_mod._maybe_tile(self.A_dev, A_work,
                                                  amg_probe, self.A_dev.dtype)
             _ft["facade_convert_s"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix
 
             if isinstance(self.A_dev, (TileELLBlockMatrix, TileELLMatrix)):
@@ -846,6 +861,7 @@ class AMGSolver(KrylovSolver):
                         vals=jnp.asarray(vals, dtype=fc["res_ell"].dtype))
                     fc["res_ell"] = self.A_res
                 self._build_res_lo(res_src)
+            _ft["facade_res_s"] = _time.perf_counter() - t0
         else:
             self._perm = None
             self._planar = None
@@ -974,6 +990,7 @@ class AMGSolver(KrylovSolver):
                     fc["dia_plan"] = k_of * A_work.shape[0] + C.row
                     fc["dev_kind"] = "dia"
             _ft["facade_convert_s"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             from polysolve_tpu.ops.tile_ell import TileELLBlockMatrix
 
             if isinstance(self.A_dev, (TileELLBlockMatrix, TileELLMatrix)):
@@ -986,6 +1003,7 @@ class AMGSolver(KrylovSolver):
                 self.A_res_lo = None
             else:
                 self._build_res_lo(A_work)
+            _ft["facade_res_s"] = _time.perf_counter() - t0
         # nested "AMG" preconditioner block first (spec-injected defaults),
         # then the solver's own flat params — the user's `params["AMG"]`
         # subtree — win (they carry the explicit configuration)
@@ -1008,6 +1026,7 @@ class AMGSolver(KrylovSolver):
         # pattern-reuse: same sparsity ⇒ keep the aggregation, rebuild values
         # only (the reference rebuilds AMGCL fully each factorize —
         # AMGCL.cpp:148-184; we beat that, per SURVEY.md §7 hard-part #2)
+        t0 = _time.perf_counter()
         A_work = self._A_work
         pattern = (A_work.shape, A_work.indptr, A_work.indices)
         reuse = None
@@ -1020,6 +1039,7 @@ class AMGSolver(KrylovSolver):
             reuse = self._hier.aggregates
             reuse_probe = self._hier.probe_plans
             reuse_device = self._hier.device_caches
+        _ft["facade_pattern_s"] = _time.perf_counter() - t0
         nullspace = self.nullspace
         if nullspace is not None and self._perm is not None:
             nullspace = np.asarray(nullspace).reshape(
@@ -1029,6 +1049,12 @@ class AMGSolver(KrylovSolver):
             # facade's block operator and planar-indexed transfers/Dinv
             amg_params["_planar"] = dict(
                 self._planar, level0_op=self.A_dev.with_fast_reduce())
+        from polysolve_tpu.types import DIAMatrix as _DIAM
+
+        if isinstance(self.A_dev, _DIAM):
+            # structured path: hand the already-uploaded fine DIA operator
+            # to the hierarchy so setup doesn't convert+upload A0 again
+            amg_params["_level0_dev"] = self.A_dev
         t0 = _time.perf_counter()
         self._hier = amg_mod.AMGHierarchy.setup(
             A_work, amg_params, block_size=bs, nullspace=nullspace,
@@ -1036,6 +1062,7 @@ class AMGSolver(KrylovSolver):
             reuse_probe=reuse_probe, reuse_device=reuse_device,
         )
         _ft["facade_setup_s"] = _time.perf_counter() - t0
+        _ft["facade_total_s"] = _time.perf_counter() - _t_fac0
         if self._hier.timings is not None:
             self._hier.timings.update(
                 {k: round(v, 3) for k, v in _ft.items()})

@@ -664,6 +664,212 @@ def _solve_scan_flat(blocks, dinv, f_diag, f_cols, f_pan_blk, f_pan_own,
     return x[:nb]
 
 
+def _build_tail_solve_plan(sym: "BlockSymbolic", tail_max_dofs: int = 8192,
+                           max_bands: int = 3):
+    """Round-5 solve schedule, derived from the budgeted factor schedule.
+
+    Two fixes for the step-latency-bound triangular solve (VERDICT r4 #6,
+    solve ≤ 0.1 s at n=110k — measured 0.163 s best on the budget scan):
+
+    (a) DENSE TAIL — the top of the elimination tree is a chain of tiny
+        levels: at n=110k, ~100 of the 163 budgeted steps apply only 1-4
+        diagonal blocks each, pure per-step latency. All block columns of
+        the trailing steps (cap ``tail_max_dofs``) fold into ONE dense
+        lower-triangular matrix solved by a single XLA TriangularSolve.
+        Correctness: the row structure of a block column is a subset of its
+        elimination-tree ancestors, and ancestors of trailing-step columns
+        are scheduled even later — so the trailing column set is closed
+        under "panel rows stay inside the tail" and forms a self-contained
+        triangular system once the front scan has applied every
+        front-column contribution.
+    (b) WIDTH-TRIMMED BANDS — the remaining front steps keep the scan but
+        split into ≤``max_bands`` contiguous bands, each padded only to its
+        own max real width (the factor budget pads EVERY step to
+        (C=128, P=2048) at ~10-14% average density — 7× the gather bytes).
+
+    The front schedule is LEVEL-merged (one step per elimination-tree
+    level, no memory budgets — a solve step's work is tiny matvecs, unlike
+    the factor's GEMM batches), so the scan length is the number of
+    surviving front levels (~30 at n=110k) rather than the 92 front budget
+    steps; the tail absorbs the ~70 top levels outright."""
+    nb, m = sym.nb, sym.m
+    ids_all = np.asarray(sym.col_ids)
+    rows_all = np.asarray(sym.col_rows)
+    diag_ids = np.asarray(sym.diag_ids)
+    ws = (ids_all != sym.n_blocks).sum(1).astype(np.int64)
+    # block elimination-tree levels (children before parents: ascending ids)
+    parent = np.where(ws > 0, rows_all[:, 0].astype(np.int64), -1)
+    level = np.zeros(nb, dtype=np.int64)
+    for j in range(nb):
+        p = parent[j]
+        if p >= 0 and level[p] < level[j] + 1:
+            level[p] = level[j] + 1
+    n_levels = int(level.max()) + 1 if nb else 0
+    widths = np.bincount(level, minlength=max(n_levels, 1))
+
+    # tail: absorb top levels while the column count fits the dense cap
+    cap = max(int(tail_max_dofs) // m, 0)
+    cnt, L_cut = 0, n_levels
+    while L_cut > 0 and cnt + widths[L_cut - 1] <= cap:
+        cnt += int(widths[L_cut - 1])
+        L_cut -= 1
+    tail_mask = level >= L_cut
+    tail_cols = np.flatnonzero(tail_mask)         # ascending = topological
+    Td = int(len(tail_cols))
+
+    if Td:
+        tloc = np.full(nb, -1, np.int64)
+        tloc[tail_cols] = np.arange(Td)
+        rows_t = rows_all[tail_cols]              # (Td, Wmax), pad nb
+        ids_t = ids_all[tail_cols]                # pad n_blocks
+        pm = ids_t != sym.n_blocks
+        pri = tloc[rows_t[pm]]
+        if (pri < 0).any():                       # ancestor escaped the tail
+            return None                           # (impossible: ancestors
+        pci = np.repeat(tloc[tail_cols], pm.sum(1))  # have higher levels)
+        tri = np.concatenate([np.arange(Td), pri]).astype(np.int32)
+        tci = np.concatenate([np.arange(Td), pci]).astype(np.int32)
+        tbid = np.concatenate(
+            [diag_ids[tail_cols], ids_t[pm]]).astype(np.int32)
+    else:
+        tri = tci = tbid = np.zeros(0, np.int32)
+
+    # front: one step per level, band-split by width (DP minimizing padded
+    # gather area over ≤ max_bands contiguous segments)
+    bands = []
+    if L_cut > 0:
+        lv_cols = [np.flatnonzero(level == l) for l in range(L_cut)]
+        w_c = np.array([max(len(c), 1) for c in lv_cols])
+        w_p = np.array([max(int(ws[c].sum()), 1) for c in lv_cols])
+
+        def cost(i, j):
+            return (j - i) * (int(w_c[i:j].max()) + int(w_p[i:j].max()))
+
+        cuts = [(0, L_cut)]
+        if L_cut > max_bands:
+            INF = float("inf")
+            dp = [[INF] * (L_cut + 1) for _ in range(max_bands + 1)]
+            choice = [[-1] * (L_cut + 1) for _ in range(max_bands + 1)]
+            dp[0][0] = 0.0
+            for k in range(1, max_bands + 1):
+                for j in range(1, L_cut + 1):
+                    for i in range(j):
+                        if dp[k - 1][i] == INF:
+                            continue
+                        c = dp[k - 1][i] + cost(i, j)
+                        if c < dp[k][j]:
+                            dp[k][j] = c
+                            choice[k][j] = i
+            k_best = min(range(1, max_bands + 1),
+                         key=lambda k: dp[k][L_cut])
+            cuts, j, k = [], L_cut, k_best
+            while j > 0:
+                i = choice[k][j]
+                cuts.append((i, j))
+                j, k = i, k - 1
+            cuts.reverse()
+        for i, j in cuts:
+            Cb = int(w_c[i:j].max())
+            Pb = int(w_p[i:j].max())
+            ns_b = j - i
+            b_diag = np.full((ns_b, Cb), sym.n_blocks, np.int32)
+            b_cols = np.full((ns_b, Cb), nb, np.int32)
+            b_pblk = np.full((ns_b, Pb), sym.n_blocks, np.int32)
+            b_pown = np.full((ns_b, Pb), Cb, np.int32)
+            b_prow = np.full((ns_b, Pb), nb, np.int32)
+            for t, l in enumerate(range(i, j)):
+                cols_l = lv_cols[l]
+                b_diag[t, :len(cols_l)] = diag_ids[cols_l]
+                b_cols[t, :len(cols_l)] = cols_l
+                pp = 0
+                for slot, c in enumerate(cols_l):
+                    w = int(ws[c])
+                    b_pblk[t, pp:pp + w] = ids_all[c, :w]
+                    b_pown[t, pp:pp + w] = slot
+                    b_prow[t, pp:pp + w] = rows_all[c, :w]
+                    pp += w
+            bands.append((b_diag, b_cols, b_pblk, b_pown, b_prow))
+    return {"bands": bands, "tail_cols": tail_cols.astype(np.int32),
+            "tri": tri, "tci": tci, "tbid": tbid, "Td": Td,
+            "steps_front": int(L_cut),
+            "steps_folded": int(n_levels - L_cut)}
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "m", "prec", "Td"))
+def _solve_tail(blocks, dinv, bands, tasm, tcols, B, n_blocks: int, m: int,
+                prec: str = "highest", Td: int = 0):
+    """Banded front scans + one dense-tail TriangularSolve (see
+    _build_tail_solve_plan). Same numerical contract as _solve_scan_flat."""
+    nb = B.shape[0]
+    nrhs = B.shape[2]
+    PR = (jax.lax.Precision.HIGHEST if prec == "highest"
+          else jax.lax.Precision.DEFAULT)
+    y = jnp.concatenate([B, jnp.zeros((1, m, nrhs), dtype=B.dtype)], axis=0)
+
+    def _oh_add(y2, ids, V):
+        oh = (jax.lax.broadcasted_iota(
+            jnp.int32, (nb + 1, ids.shape[0]), 0)
+            == ids[None, :].astype(jnp.int32)).astype(V.dtype)
+        return y2 + jnp.dot(oh, V, preferred_element_type=V.dtype,
+                            precision=PR)
+
+    def fwd(y, xs):
+        fd, fc, pb, po, prow = xs
+        C = fc.shape[0]
+        yfc = y[fc]
+        yk = jnp.einsum("cij,cjr->cir", dinv[fc], yfc, precision=PR)
+        y2 = y.reshape(nb + 1, m * nrhs)
+        dlt = jnp.where((fc < nb)[:, None],
+                        (yk - yfc).reshape(C, m * nrhs), 0.0)
+        y2 = _oh_add(y2, fc, dlt)
+        yk_ext = jnp.concatenate(
+            [yk, jnp.zeros((1, m, nrhs), dtype=yk.dtype)], axis=0)
+        Lo = blocks[pb]
+        contrib = jnp.einsum("pij,pjr->pir", Lo, yk_ext[po], precision=PR)
+        cflat = jnp.where((prow < nb)[:, None],
+                          contrib.reshape(contrib.shape[0], m * nrhs), 0.0)
+        y2 = _oh_add(y2, prow, -cflat)
+        return y2.reshape(nb + 1, m, nrhs), None
+
+    def bwd(x, xs):
+        fd, fc, pb, po, prow = xs
+        C = fc.shape[0]
+        Lo = blocks[pb]
+        c = jnp.einsum("pij,pir->pjr", Lo, x[prow], precision=PR)
+        ohp = (jax.lax.broadcasted_iota(
+            jnp.int32, (C + 1, po.shape[0]), 0)
+            == po[None, :].astype(jnp.int32)).astype(c.dtype)
+        c2 = jnp.where((prow < nb)[:, None],
+                       c.reshape(c.shape[0], m * nrhs), 0.0)
+        s = jnp.dot(ohp, c2, preferred_element_type=c2.dtype, precision=PR)
+        s = s.reshape(C + 1, m, nrhs)
+        xfc = x[fc]
+        xk = jnp.einsum("cji,cjr->cir", dinv[fc], xfc - s[:C], precision=PR)
+        x2 = x.reshape(nb + 1, m * nrhs)
+        dlt = jnp.where((fc < nb)[:, None],
+                        (xk - xfc).reshape(C, m * nrhs), 0.0)
+        x2 = _oh_add(x2, fc, dlt)
+        return x2.reshape(nb + 1, m, nrhs), None
+
+    for xs in bands:
+        y, _ = lax.scan(fwd, y, xs)
+
+    if Td:
+        tri, tci, tbid = tasm
+        L4 = jnp.zeros((Td, Td, m, m), dtype=blocks.dtype)
+        L4 = L4.at[tri, tci].set(blocks[tbid])
+        Ldense = L4.transpose(0, 2, 1, 3).reshape(Td * m, Td * m)
+        yt = y[tcols].reshape(Td * m, nrhs)
+        zt = jax.scipy.linalg.solve_triangular(Ldense, yt, lower=True)
+        xt = jax.scipy.linalg.solve_triangular(Ldense, zt, lower=True,
+                                               trans=1)
+        y = y.at[tcols].set(xt.reshape(Td, m, nrhs))
+
+    for xs in reversed(bands):
+        y, _ = lax.scan(bwd, y, xs, reverse=True)
+    return y[:nb]
+
+
 # --------------------------------------------------------------------------- #
 # Blocked sparse LU (symmetric pattern, block-diagonal pivoting)              #
 # --------------------------------------------------------------------------- #
@@ -874,6 +1080,8 @@ class SupernodalCholesky:
         self.blocks = None
         self._tables = None
         self._phash: Optional[str] = None
+        self._solve_plan = None
+        self._solve_plan_phash: Optional[str] = None
 
     def analyze(self, A: sp.spmatrix,
                 phash: Optional[str] = None) -> BlockSymbolic:
@@ -927,16 +1135,41 @@ class SupernodalCholesky:
         B = b.reshape(s.n, -1)
         Bp = np.zeros((s.n_pad, B.shape[1]))
         Bp[s.emb] = B[s.perm]
-        # level-merged solve schedule (s_*) when present: n_levels steps
-        # instead of the factor schedule's budgeted ones (the solve is
-        # step-latency-bound — measured 0.7 ms/step regardless of width)
-        # getattr: disk-cached symbolic objects from older rounds lack s_*
-        # measured at n=110k (supernodal_solve_probe_results.jsonl): budget
-        # schedule + one-hot reduces = 0.163 s; level-merged = 0.344 s (its
-        # max-width padding outweighs the step-count saving) — budget is
-        # the default, "level" kept selectable for the probe's record
+        # schedule selection (measured at n=110k,
+        # supernodal_solve_probe_results.jsonl):
+        #   "tail" (default, 0.096 s) — dense top-of-tree fold + level-merged
+        #     width-trimmed band scans (_build_tail_solve_plan): the budget
+        #     scan's 163 steps were ~100 near-empty top-tree steps of pure
+        #     latency plus (128, 2048)-padded gathers at 10-14% density;
+        #     the tail absorbs 71 of ~100 levels, 29 front levels remain
+        #   "budget" — the flat factor schedule (0.163-0.21 s)
+        #   "level" — one step per etree level (0.344 s; max-width padding)
+        sched = getattr(self, "solve_schedule", "tail")
+        if sched == "tail":
+            if self._solve_plan_phash != self._phash:
+                self._solve_plan = _build_tail_solve_plan(s)
+                self._solve_plan_phash = self._phash
+            plan = self._solve_plan
+            if plan is not None:
+                X = _solve_tail(
+                    self.blocks, self.diag_inv,
+                    tuple(tuple(jnp.asarray(a) for a in b)
+                          for b in plan["bands"]),
+                    (jnp.asarray(plan["tri"]), jnp.asarray(plan["tci"]),
+                     jnp.asarray(plan["tbid"])),
+                    jnp.asarray(plan["tail_cols"]),
+                    jnp.asarray(Bp.reshape(s.nb, s.m, -1),
+                                dtype=default_dtype()),
+                    n_blocks=s.n_blocks, m=s.m,
+                    prec=getattr(self, "solve_precision", "highest"),
+                    Td=plan["Td"])
+                Xfull = np.asarray(X, dtype=np.float64).reshape(s.n_pad, -1)
+                out = np.empty_like(B)
+                out[s.perm] = Xfull[s.emb]
+                return out[:, 0] if squeeze else out
+            # plan unavailable (older cached symbolic) → budget path below
         use_s = (getattr(s, "s_diag", None) is not None
-                 and getattr(self, "solve_schedule", "budget") == "level")
+                 and sched == "level")
         X = _solve_scan_flat(
             self.blocks, self.diag_inv,
             jnp.asarray(s.s_diag if use_s else s.f_diag),

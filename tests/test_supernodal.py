@@ -151,6 +151,32 @@ def test_supernodal_refactorize_same_pattern():
         assert np.linalg.norm(A2 @ x - b) / np.linalg.norm(b) < 1e-10
 
 
+def test_supernodal_tail_solve_bands_parity():
+    """Round-5 solve schedule (dense top-of-tree fold + width-trimmed band
+    scans, _build_tail_solve_plan) matches the budget-schedule solve when
+    the plan actually contains BOTH front bands and a dense tail (the
+    default 8192-dof cap folds small test problems entirely into the tail,
+    so this pins the mixed path with a small cap)."""
+    from polysolve_tpu.linear.supernodal import _build_tail_solve_plan
+
+    A = sp.csr_matrix(poisson3d(12) + 0.1 * sp.identity(12 ** 3))
+    n = A.shape[0]
+    b = np.random.default_rng(3).standard_normal(n)
+    S = SupernodalCholesky(tile=32)
+    S.factorize(A)
+    S.solve_schedule = "budget"
+    x0 = S.solve(b)
+    plan = _build_tail_solve_plan(S.sym, tail_max_dofs=768, max_bands=3)
+    assert plan is not None
+    assert plan["Td"] > 0 and plan["steps_front"] > 0 and plan["bands"]
+    S._solve_plan = plan
+    S._solve_plan_phash = S._phash
+    S.solve_schedule = "tail"
+    x1 = S.solve(b)
+    assert np.linalg.norm(A @ x1 - b) / np.linalg.norm(b) < 1e-10
+    np.testing.assert_allclose(x1, x0, rtol=1e-9, atol=1e-9)
+
+
 def test_supernodal_multirhs():
     A = sp.csr_matrix(poisson2d(12) + 0.1 * sp.identity(144))
     rng = np.random.default_rng(2)
