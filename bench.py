@@ -390,10 +390,11 @@ def _bench_amg_pcg(A, x_seed):
     # Newton-loop optimization; the reference rebuilds AMGCL fully,
     # AMGCL.cpp:148-184)
     refac_s, refac_phases = 1e9, {}
-    for _ in range(2):
-        # best-of-2: the first repeat may still compile reuse-path programs
-        # (shorter power iteration etc); Newton loops refactorize many
-        # times, so the steady-state repeat is the honest number
+    for _ in range(3):
+        # best-of-3: the first repeat may still compile reuse-path programs
+        # (shorter power iteration etc), and the axon platform shows ~1.8x
+        # whole-run speed swings between sessions; Newton loops refactorize
+        # many times, so the steady-state best is the honest number
         t0 = time.perf_counter()
         s.factorize(A)
         dt = time.perf_counter() - t0
@@ -401,9 +402,28 @@ def _bench_amg_pcg(A, x_seed):
             refac_s = dt
             refac_phases = {k: round(v, 2)
                             for k, v in (s._hier.timings or {}).items()}
+    # measured tunnel H2D bandwidth: refactorize re-uploads the (K, n) fp32
+    # values plane (~198 MB at 7.08M) and the axon tunnel runs anywhere
+    # from ~15 to ~60+ MB/s between sessions — the async upload is absorbed
+    # by the first blocking readback (it surfaces as a power_s/untimed
+    # spike). A real TPU host pays ~20 ms over PCIe for the same bytes, so
+    # the ex-upload estimate is the hardware-portable refactorize number.
+    up = np.random.default_rng(3).standard_normal(16 << 20).astype(np.float32)
+    up_bw = None
+    for _ in range(2):                  # 1st may compile the probe vdot
+        t0 = time.perf_counter()
+        v = jnp.asarray(up)
+        float(jnp.vdot(v[:128], v[:128]))
+        up_bw = up.nbytes / (time.perf_counter() - t0)
+    vals_bytes = int(np.prod(s.A_dev.vals.shape)) * 4
+    est_upload_s = vals_bytes / max(up_bw, 1.0)
     out = {
         "n": n, "setup_s": round(setup_s, 1),
         "refactorize_same_pattern_s": round(refac_s, 1),
+        "tunnel_upload_MBps": round(up_bw / 1e6, 1),
+        "vals_upload_MB": round(vals_bytes / 1e6, 1),
+        "refactorize_ex_upload_est_s": round(
+            max(refac_s - est_upload_s, 0.0), 1),
         "setup_phases_s": setup_phases,
         # phases of the BEST refactorize (VERDICT r4: the old report mixed
         # the last refactorize's phases into "setup_phases_s")

@@ -805,6 +805,7 @@ class AMGHierarchy:
             if structured and use_probe:
                 from polysolve_tpu.types import DIAMatrix as _DIA
 
+                t0 = _time.perf_counter()
                 if isinstance(Al, _DiaCarrier):
                     A_dev = Al.to_dia_matrix(dtype)
                     d = Al.diagonal()
@@ -829,16 +830,21 @@ class AMGHierarchy:
                         dia_fill_threshold=0.02 if len(levels) > 0 else 0.55)
                     A_dev = cand if isinstance(cand, _DIA) else None
                     d = Al.diagonal() if A_dev is not None else None
+                _tacc(timings, f"L{len(levels)}_", "convert_s",
+                      _time.perf_counter() - t0)
                 carrier = None
                 plan = None
                 prev_plan = (reuse_probe[len(levels)]
                              if reuse_probe is not None
                              and len(levels) < len(reuse_probe) else None)
                 if A_dev is not None:
+                    tag = f"L{len(levels)}_"
+                    t0 = _time.perf_counter()
                     d = np.where(d != 0, d, 1.0)
                     Dinv_dev = jnp.asarray(1.0 / d, dtype=dtype)
                     v0 = _power_v0(A_dev.shape[0], jnp.dtype(dtype).name)
-                    tag = f"L{len(levels)}_"
+                    _tacc(timings, tag, "level_prep_s",
+                          _time.perf_counter() - t0)
                     t0 = _time.perf_counter()
                     # refactorize (plan reuse): the spectrum moves slowly
                     # between Newton steps and cheb4 needs only an upper
