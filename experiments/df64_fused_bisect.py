@@ -1,7 +1,18 @@
-"""Bisect the round-4 toolchain fault: the FUSED df64 refinement program
-(df64 while_loop + inner CG + AMG cycle over tile-ELL kernels) crashes the
-TPU worker at ~1M rows, while each constituent program runs alone
-(PARITY.md limitation (a); VERDICT r4 next #7).
+"""Bisect ladder for the round-4 toolchain fault: the FUSED df64
+refinement program (df64 while_loop + inner CG + AMG cycle over tile-ELL
+kernels) crashed the TPU worker at ~1M rows, while each constituent
+program ran alone (VERDICT r4 next #7).
+
+ROUND-5 RESOLUTION (df64_fused_bisect_results.jsonl "summary" row):
+the crash shape was REMOVED from production — tile-ELL/block formats now
+refine through exact host-fp64 residual sweeps (_solve_refined_block;
+equal-or-better accuracy, 5.2e-12 at 1M unstructured), so
+_run_krylov_df64 only accepts ELL/DIA residual companions. On that class
+the fused device program WORKS at ≥1M rows: the 7.08M structured AMG-PCG
+bench solve reaches 2.5e-12 through it (BENCH_r05 amg_pcg). The
+amg_block/amg_scalar rungs below therefore log "path_removed" (the
+crash-prone program is no longer constructible); the jacobi rungs execute
+the surviving fused path end-to-end.
 
 Each probe runs in a SUBPROCESS so a worker crash is survivable and the
 outcome is logged before the next probe. Run LAST in a TPU session.
@@ -73,12 +84,19 @@ def run_one(nx: int, variant: str):
     dtype = s.A_dev.dtype
     A_res = s.A_res if s.A_res is not None else s.A_dev
     b_df = df.from_f64(B[:, 0])
-    x_hi, x_lo, itn, err, conv = it._run_krylov_df64(
-        "CG", isinstance(A_res, ELLMatrix), s.A_dev, A_res, s.pstate,
-        b_df.hi, b_df.lo, jnp.zeros(B.shape[0], dtype=dtype),
-        jnp.asarray(1e-10, dtype), jnp.asarray(1e-6, dtype),
-        jnp.int32(60), max_outer=4, restart=30,
-        vals_lo=getattr(s, "A_res_lo", None))
+    try:
+        x_hi, x_lo, itn, err, conv = it._run_krylov_df64(
+            "CG", isinstance(A_res, ELLMatrix), s.A_dev, A_res, s.pstate,
+            b_df.hi, b_df.lo, jnp.zeros(B.shape[0], dtype=dtype),
+            jnp.asarray(1e-10, dtype), jnp.asarray(1e-6, dtype),
+            jnp.int32(60), max_outer=4, restart=30,
+            vals_lo=getattr(s, "A_res_lo", None))
+    except (AttributeError, TypeError) as e:
+        # round 5 removed the crash-prone tile-format fused path from
+        # production (host-fp64 residual sweeps replace it) — the df64
+        # residual impl only accepts ELL/DIA companions now
+        print(json.dumps({"path_removed": True, "error": repr(e)[:160]}))
+        return
     print(json.dumps({"inner_iters": int(itn), "err": float(err),
                       "converged": bool(conv)}))
 
