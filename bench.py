@@ -328,7 +328,9 @@ def _bench_supernodal():
     b = np.random.default_rng(0).standard_normal(n)
     s.solve(b)                               # compile
     t_sol = 1e9
-    for _ in range(3):
+    for _ in range(6):
+        # min-of-6: the solve is latency-bound (~0.1 s) and the tunnel
+        # adds 20-50 ms of session-dependent dispatch/transfer jitter
         t0 = time.perf_counter()
         x = s.solve(b)
         t_sol = min(t_sol, time.perf_counter() - t0)
